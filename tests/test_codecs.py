@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from my_crawler_spark import codecs
+from my_crawler_spark.fixtures import make_pixels
+
+
+def test_png_roundtrip_exact():
+    px = make_pixels(42, 7, 24, 24)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+def test_fake_lossy_psnr_over_40db():
+    for i in range(5):
+        px = make_pixels(42, i, 24, 24)
+        dec = codecs.decode_image(codecs.encode_image(px, "jpeg"))
+        assert codecs.psnr(px, dec) >= 40.0
+
+
+def test_phash_stable_and_robust():
+    px = make_pixels(42, 3, 24, 24)
+    h1 = codecs.phash64(px)
+    assert h1 == codecs.phash64(px.copy())
+    # small noise keeps hamming distance low
+    noisy = np.clip(px.astype(int) + 2, 0, 255).astype(np.uint8)
+    assert codecs.hamming64(h1, codecs.phash64(noisy)) <= 10
+    # a different image differs a lot
+    other = make_pixels(42, 99, 24, 24)
+    assert codecs.hamming64(h1, codecs.phash64(other)) > 10
+
+
+def test_decode_unknown_raises():
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"\xff\xd8\xff real jpeg would go here")
