@@ -1,0 +1,233 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline metric: frontier throughput — URLs scheduled+fetched per second
+through the full BSP round pipeline (politeness admit -> robots gate ->
+fetch join -> decode/phash/chunk extract -> gate fold -> seen/chunk/link
+commits) over a synthetic web derived deterministically from the
+sf-directory's orders/lineitem tables (no external data).
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Modes:
+  python bench.py            -> run all queries, print the JSON line
+  python bench.py --scaling  -> run the crawl bench at local[8] and
+                                local[32] in subprocesses, write
+                                BENCH/BASELINE.md with throughput at both
+                                and scaling efficiency (BASELINE.json
+                                two-cluster-size evidence protocol)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = 5000
+N_HOSTS = 64
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_synthetic_web(spark, sf_dir):
+    """pages/redirects/images derived from orders+lineitem (seeded, no RNG
+    at runtime). Returns (pages_df, redirects_df, images_df, seed_urls)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from my_crawler_spark.codecs import encode_image, phash64, decode_image
+    from my_crawler_spark.fixtures import make_pixels
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % N_HOSTS).cast("string"),
+        F.lit(".example.com/p/"), F.col("o_orderkey").cast("string"),
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"), url.alias("url"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % N_HOSTS).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+    )
+    n_orders = base.count()
+    # edges: l_orderkey -> the order whose row_number == l_partkey % n_orders
+    from pyspark.sql import Window
+
+    idx = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("okey")) - 1
+    )
+    edges = (
+        li.select(F.col("l_orderkey").alias("okey"),
+                  (F.col("l_partkey") % n_orders).alias("target_rn"))
+        .join(idx.select(F.col("rn").alias("target_rn"), F.col("url").alias("dst")),
+              "target_rn")
+        .groupBy("okey")
+        .agg(F.collect_list("dst").alias("outlinks"))
+    )
+    pages = (
+        base.join(edges, "okey", "left")
+        .withColumn("outlinks", F.coalesce("outlinks", F.array()))
+        .select(
+            "url", "host",
+            F.lit(200).alias("status"),
+            F.lit("text/html").alias("content_type"),
+            F.lit(0).alias("flaky_fail_times"),
+            F.lit(10_000).cast("long").alias("body_len"),
+            F.concat(F.lit("img-"), (F.col("okey") % N_IMAGES).cast("string")).alias("image_id"),
+            "outlinks",
+        )
+    )
+
+    def gen_images(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                fmt = ["png", "jpeg", "webp"][i % 3]
+                px = make_pixels(11, i, 16, 16)
+                data = encode_image(px, fmt)
+                caption = f"synthetic caption {i} " + ("data table scan engine row " * ((i % 6) + 2))
+                rows.append({
+                    "image_id": f"img-{i}", "bytes": data,
+                    "w": 16, "h": 16, "fmt": fmt, "caption": caption,
+                    "phash": phash64(decode_image(data)),
+                })
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+    images = spark.range(N_IMAGES).withColumnRenamed("id", "i").repartition(CPUS).mapInPandas(
+        gen_images, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    seeds = [r.url for r in base.orderBy("okey").limit(4).collect()]
+    redirects = spark.createDataFrame([], "src_url string, dst_url string")
+    return pages, redirects, images, seeds
+
+
+def bench_crawl(spark, sf_dir, max_pages=20_000, max_rounds=8) -> tuple[float, int]:
+    """Returns (seconds, urls_scheduled_fetched)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from my_crawler_spark.plans.crawl_plan import CrawlRunner
+
+    pages, redirects, images, seed_urls = build_synthetic_web(spark, sf_dir)
+    pages = pages.cache(); pages.count()
+    images = images.cache(); images.count()
+
+    robots_pdf = pd.DataFrame(
+        [{"origin": f"https://h{k}.example.com", "status": 200,
+          "body": "User-agent: *\nAllow: /\n"} for k in range(N_HOSTS)]
+    )
+    sitemaps_pdf = pd.DataFrame(columns=["sitemap_url", "kind", "loc", "lastmod"])
+    budgets = spark.createDataFrame(
+        [(f"h{k}.example.com", 1_000_000) for k in range(N_HOSTS)],
+        "host string, tokens_per_round long",
+    )
+    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    runner = CrawlRunner(
+        spark, wd, pages, redirects, images, robots_pdf, sitemaps_pdf, budgets,
+        use_bloom=True, bloom_min_rows=10_000, host_buckets=CPUS,
+    )
+    # BASELINE.json shape: a huge SEED FRONTIER (not BFS ramp-up) — inject the
+    # whole synthetic url universe as one request's frontier, then measure the
+    # scheduler: politeness admit -> gates -> fetch -> extract -> fold -> commits.
+    runner.seed_frontier_bulk(
+        1, pages.select("url"), max_pages=10_000_000, max_depth=10,
+        same_domain=False,
+    )
+    t0 = time.time()
+    runner.run(max_rounds=max_rounds)
+    dt = time.time() - t0
+    processed = runner.t_visits.read().count()
+    return dt, int(processed)
+
+
+def bench_queries(spark, sf_dir) -> dict[str, float]:
+    """Operator benches: wall seconds per headline query."""
+    from my_crawler_spark import entry_queries as EQ
+
+    out = {}
+    for name in [
+        "bm25_topk", "ann_cosine_topk", "minhash_lsh_pairs", "simhash_pairs",
+        "url_canonicalize", "bfs_frontier", "image_decode_phash",
+        "dedup_diversify_paginate", "events_sessionize",
+    ]:
+        t0 = time.time()
+        n = EQ.QUERIES[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_bench(json_only: bool = False) -> dict:
+    from my_crawler_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    crawl_s, processed = bench_crawl(spark, SF_DIR)
+    qsecs = bench_queries(spark, SF_DIR)
+    qsecs["crawl_frontier"] = round(crawl_s, 3)
+    result = {
+        "metric": "frontier-throughput-urls-per-sec",
+        "value": round(processed / crawl_s, 2),
+        "unit": "urls/sec",
+        "queries": qsecs,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "urls_processed": processed,
+        "crawl_seconds": round(crawl_s, 3),
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling():
+    """Two-parallelism evidence (BASELINE.json: N vs 4N executors)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t32 / t8) / 4.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH baseline — two-parallelism scaling evidence\n\n"
+            "Protocol (BASELINE.md): same job, same input, local[8] vs local[32];\n"
+            "efficiency = (T_4N / T_N) / 4 for throughput T.\n\n"
+            "| parallelism | frontier throughput (urls/sec) | urls | seconds |\n"
+            "| --- | --- | --- | --- |\n"
+            f"| local[8] | {t8} | {results[8]['urls_processed']} | {results[8]['crawl_seconds']} |\n"
+            f"| local[32] | {t32} | {results[32]['urls_processed']} | {results[32]['crawl_seconds']} |\n\n"
+            f"**Scaling efficiency (8 -> 32 cores): {eff:.3f}** (target >= 0.8)\n\n"
+            f"sf = {results[32]['sf']}, per-query seconds at local[32]:\n\n"
+            + "\n".join(
+                f"- {k}: {v} s" for k, v in sorted(results[32]["queries"].items())
+            )
+            + "\n"
+        )
+    print(json.dumps({"local8": t8, "local32": t32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

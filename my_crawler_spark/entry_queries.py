@@ -1,0 +1,963 @@
+"""Driver-contract queries: one entry per operator, each with a DuckDB
+oracle twin (see __spark_entry__.py).
+
+Every query reads only the driver-provided tables (region nation customer
+supplier part orders lineitem events documents embeddings). Crawl-domain
+operators that need a web shape synthesize it DETERMINISTICALLY from those
+tables with expressions mirrored verbatim in the oracle SQL (no external
+data, no RNG) — e.g. a link graph from lineitem's (l_orderkey, l_partkey)
+edges and noisy URLs from orders keys.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the SQL so the driver's order-insensitive value-hash
+lines up. Float-valued results are rounded (4-6 dp) in BOTH engines to
+absorb summation-order ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.url import (
+    canonicalize_url,
+    is_crawl_trap,
+    looks_like_file_url,
+    url_host,
+)
+from .operators import dedup as D
+from .operators import search as S
+from .operators import simsearch as SS
+from .operators import textstats as TS
+from .operators.interleave import interleave_by_domain, topk_per_group
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# URL synthesis shared spec (Spark + SQL must stay in lockstep)
+# --------------------------------------------------------------------------
+def _raw_urls(spark, sf_dir) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 7).cast("string"), F.lit(".example.com"))
+    k = F.col("o_orderkey")
+    path = (
+        F.when(k % 5 == 0, F.lit("/"))
+        .when(k % 5 == 1, F.concat(F.lit("/a/p"), k.cast("string")))
+        .when(k % 5 == 2, F.concat(F.lit("/login/x"), k.cast("string")))
+        .when(k % 5 == 3, F.concat(F.lit("/files/f"), k.cast("string"), F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/blog/post"), k.cast("string")))
+    )
+    scheme = F.when(k % 6 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://"))
+    hostp = F.when(k % 7 == 0, F.concat(host, F.lit(":443"))).otherwise(host)
+    suffix = (
+        F.when(k % 4 == 0, F.lit("?utm=1&x=2"))
+        .when(k % 4 == 1, F.lit("#frag"))
+        .otherwise(F.lit(""))
+    )
+    return o.select(
+        F.col("o_orderkey").alias("key"),
+        F.concat(scheme, hostp, path, suffix).alias("raw_url"),
+    )
+
+
+_RAW_URLS_SQL = """
+    SELECT o_orderkey AS key,
+           (CASE WHEN o_orderkey % 6 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+           || (CASE WHEN o_orderkey % 7 = 0
+                    THEN 'h' || CAST(o_custkey % 7 AS VARCHAR) || '.example.com:443'
+                    ELSE 'h' || CAST(o_custkey % 7 AS VARCHAR) || '.example.com' END)
+           || (CASE o_orderkey % 5
+                 WHEN 0 THEN '/'
+                 WHEN 1 THEN '/a/p' || CAST(o_orderkey AS VARCHAR)
+                 WHEN 2 THEN '/login/x' || CAST(o_orderkey AS VARCHAR)
+                 WHEN 3 THEN '/files/f' || CAST(o_orderkey AS VARCHAR) || '.pdf'
+                 ELSE '/blog/post' || CAST(o_orderkey AS VARCHAR) END)
+           || (CASE WHEN o_orderkey % 4 = 0 THEN '?utm=1&x=2'
+                    WHEN o_orderkey % 4 = 1 THEN '#frag' ELSE '' END)
+           AS raw_url
+    FROM orders
+"""
+
+_CANON_SQL = """
+    SELECT key, raw_url,
+           CASE WHEN lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                     IN ('http','https')
+                 AND regexp_extract(auth2, '^([^:]+)', 1) <> ''
+                 AND regexp_matches(auth2, '^[^:@/]+(:[0-9]+)?$')
+           THEN lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+                || auth2
+                || (CASE WHEN path IS NULL OR path = '' THEN '/' ELSE path END)
+           END AS canon_url
+    FROM (
+        SELECT key, raw_url, u0, path,
+               CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
+                    THEN substr(auth, 1, length(auth) - 3)
+                    WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN substr(auth, 1, length(auth) - 4)
+                    ELSE auth END AS auth2
+        FROM (
+            SELECT key, raw_url, u0,
+                   lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                   regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)?$', 1) AS path
+            FROM (SELECT key, raw_url, regexp_replace(raw_url, '[?#].*$', '') AS u0
+                  FROM raw) )
+    )
+"""
+
+
+def q_url_canonicalize(spark, sf_dir) -> DataFrame:
+    return (
+        _raw_urls(spark, sf_dir)
+        .withColumn("canon_url", canonicalize_url(F.col("raw_url")))
+        .select("key", "canon_url")
+    )
+
+
+SQL_URL_CANONICALIZE = f"""
+    WITH raw AS ({_RAW_URLS_SQL}), canon AS ({_CANON_SQL})
+    SELECT key, canon_url FROM canon
+"""
+
+
+def q_url_filters(spark, sf_dir) -> DataFrame:
+    urls = (
+        _raw_urls(spark, sf_dir)
+        .withColumn("url", canonicalize_url(F.col("raw_url")))
+        .filter(F.col("url").isNotNull())
+    )
+    return (
+        urls.select(
+            url_host(F.col("url")).alias("host"),
+            is_crawl_trap(F.col("url")).cast("int").alias("is_trap"),
+            looks_like_file_url(F.col("url")).cast("int").alias("is_file"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("is_trap").alias("n_traps"),
+            F.sum("is_file").alias("n_files"),
+        )
+    )
+
+
+SQL_URL_FILTERS = f"""
+    WITH raw AS ({_RAW_URLS_SQL}), canon AS ({_CANON_SQL}),
+    urls AS (
+      SELECT canon_url AS url,
+             lower(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+             regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)?$', 1) AS path
+      FROM canon WHERE canon_url IS NOT NULL)
+    SELECT host,
+           count(*) AS n_urls,
+           CAST(sum(CASE WHEN regexp_matches(lower(path),
+               '(^|/)(login|logout|signin|signout|sign-in|sign-out|sign_in|sign_out|signup|sign-up|sign_up|register|search|calendar)(/|$)')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_traps,
+           CAST(sum(CASE WHEN regexp_extract(path, '/([^/]*)$', 1) LIKE '%.%'
+                     AND lower(regexp_extract(regexp_extract(path, '/([^/]*)$', 1), '\\.([^.]*)$', 1))
+                         IN ('jpg','jpeg','png','gif','webp','avif','svg','ico','pdf','zip','tar','gz','7z','mp3','wav','ogg','mp4','webm','mov','avi','doc','docx','xls','xlsx','ppt','pptx')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_files
+    FROM urls GROUP BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# BFS reachability over a lineitem-derived link graph (Q3's expansion)
+# --------------------------------------------------------------------------
+_EDGES_SQL = """
+    SELECT DISTINCT 'n' || CAST(l_orderkey % 500 AS VARCHAR) AS src,
+                    'n' || CAST(l_partkey % 500 AS VARCHAR) AS dst
+    FROM lineitem
+"""
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("n"), (F.col("l_orderkey") % 500).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("l_partkey") % 500).cast("string")).alias("dst"),
+    ).distinct()
+
+
+def q_bfs_frontier(spark, sf_dir) -> DataFrame:
+    """Iterative frontier expansion with seen-set anti-join (Q3+Q4 shape):
+    min-depth BFS from node n0, depth <= 6."""
+    edges = _edges(spark, sf_dir).cache()
+    seen = spark.createDataFrame([("n0", 0)], "node string, depth int")
+    frontier = seen
+    for d in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.cache()
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        frontier = nxt
+    edges.unpersist()
+    return seen
+
+
+SQL_BFS_FRONTIER = f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    bfs(node, depth) AS (
+        SELECT 'n0', 0
+        UNION ALL
+        SELECT e.dst, b.depth + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.depth < 6
+    )
+    SELECT node, min(depth) AS depth FROM bfs GROUP BY node
+"""
+
+
+def q_seen_antijoin(spark, sf_dir) -> DataFrame:
+    """Q4/Q10: candidate minus seen (left_anti)."""
+    urls = _raw_urls(spark, sf_dir).withColumn(
+        "url", canonicalize_url(F.col("raw_url"))
+    ).filter(F.col("url").isNotNull())
+    cand = urls.filter(F.col("key") % 3 == 0).select("url").distinct()
+    seen = urls.filter(F.col("key") % 2 == 0).select("url").distinct()
+    return cand.join(seen, "url", "left_anti")
+
+
+SQL_SEEN_ANTIJOIN = f"""
+    WITH raw AS ({_RAW_URLS_SQL}), canon AS ({_CANON_SQL}),
+    urls AS (SELECT key, canon_url AS url FROM canon WHERE canon_url IS NOT NULL)
+    SELECT DISTINCT url FROM urls WHERE key % 3 = 0
+    AND url NOT IN (SELECT url FROM urls WHERE key % 2 = 0)
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows: interleave + per-group top-k
+# --------------------------------------------------------------------------
+def q_interleave(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"), F.col("event_type").alias("host")
+    )
+    return interleave_by_domain(ev).select("seq", "host", F.col("rr_round").cast("long").alias("rr_round"), F.col("emit_order").cast("long").alias("emit_order"))
+
+
+SQL_INTERLEAVE = """
+    WITH ranked AS (
+      SELECT event_id AS seq, event_type AS host,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rr_round
+      FROM events)
+    SELECT seq, host, rr_round,
+           row_number() OVER (ORDER BY rr_round, host, seq) AS emit_order
+    FROM ranked
+"""
+
+
+def q_topk_per_group(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("k_rank", F.row_number().over(w))
+        .filter(F.col("k_rank") <= 3)
+        .select("event_type", "event_id", F.col("k_rank").cast("long").alias("k_rank"))
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+    SELECT event_type, event_id, k_rank FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id ASC) AS k_rank
+      FROM events)
+    WHERE k_rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregations: page_version hash-fold, exact dedup, metrics rollup
+# --------------------------------------------------------------------------
+def q_page_version(spark, sf_dir) -> DataFrame:
+    """E7: sha256 over ordered member texts per group (qdrant.rs:168-178)."""
+    d = _t(spark, sf_dir, "documents")
+    packed = (
+        d.groupBy("source")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias("s"))
+        .select(
+            "source",
+            F.sha2(F.concat_ws("|", F.transform("s", lambda x: x["text"])), 256).alias(
+                "page_version"
+            ),
+            F.size("s").cast("long").alias("n_docs"),
+        )
+    )
+    return packed
+
+
+SQL_PAGE_VERSION = """
+    SELECT source,
+           sha256(string_agg(text, '|' ORDER BY doc_id)) AS page_version,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+"""
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_duplicates(d).select("doc_id", "group_size", "canonical_id")
+
+
+SQL_DEDUP_EXACT = """
+    WITH h AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
+               FROM documents),
+    g AS (SELECT doc_id, th,
+                 count(*) OVER (PARTITION BY th) AS group_size,
+                 min(doc_id) OVER (PARTITION BY th) AS canonical_id
+          FROM h)
+    SELECT doc_id, group_size, canonical_id FROM g WHERE group_size > 1
+"""
+
+
+def q_metrics_rollup(spark, sf_dir) -> DataFrame:
+    """R11 metrics aggregation shape (also the TPC-H Q1 pricing summary)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_METRICS_ROLLUP = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming analogues over events
+# --------------------------------------------------------------------------
+def q_events_windowed(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> UTC seconds
+    new_sess = (
+        epoch - F.coalesce(F.lag(epoch).over(w), F.lit(0)) > 1800
+    ).cast("int")
+    marked = ev.withColumn("new_sess", new_sess)
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+    WITH m AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch(ts) - coalesce(lag(epoch(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id), 0) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, value,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM m)
+    SELECT user_id, session_no, count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM s GROUP BY user_id, session_no
+"""
+
+
+# --------------------------------------------------------------------------
+# Text stats
+# --------------------------------------------------------------------------
+def q_token_counts(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TS.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS bpe_tokens
+    FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.quality_score_expr(F.col("text")).alias("quality"))
+
+
+# NOTE: the SQL twin mirrors quality_score_expr term by term.
+SQL_QUALITY_SCORE = """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+               / greatest(length(text), 1)::DOUBLE AS p,
+             len(list_filter(string_split_regex(lower(text), '[^\\p{L}0-9]+'), x -> x <> '')) AS nw,
+             len(list_filter(string_split_regex(lower(text), '[^\\p{L}0-9]+'),
+                 x -> list_contains(['a','and','auf','das','de','den','der','des','die','dans','el','en','es','est','et','for','für','in','is','it','la','las','le','les','los','mit','of','que','that','the','to','un','une','und','von','y','ist'], x))) AS nstop
+      FROM documents)
+    SELECT doc_id,
+           round((
+             (CASE WHEN n >= 200 THEN 1.0 ELSE n / 200.0 END)
+             + (CASE WHEN p <= 0.1 THEN 1.0 ELSE greatest(0.0, 1.0 - (p - 0.1) * 5.0) END)
+             + least((nstop / greatest(nw, 1)::DOUBLE) * 5.0, 1.0)
+           ) / 3.0, 6) AS quality
+    FROM base
+"""
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TS.lang_id_expr(F.col("text")).alias("lang_guess")
+    )
+
+
+_SW = {
+    "en": "['the','and','of','to','a','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','von','den','mit','für','auf']",
+    "fr": "['le','la','les','et','de','des','un','une','est','dans']",
+    "es": "['el','la','los','las','y','de','que','en','un','es']",
+}
+SQL_LANG_ID = f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9]+'),
+                                       x -> x <> '')) AS words,
+             length(regexp_replace(text, '[一-鿿]', '', 'g')) < length(text) * 0.7 AS cjk
+      FROM documents),
+    h AS (
+      SELECT doc_id, cjk,
+             len(list_intersect(words, {_SW['en']})) AS en_h,
+             len(list_intersect(words, {_SW['de']})) AS de_h,
+             len(list_intersect(words, {_SW['fr']})) AS fr_h,
+             len(list_intersect(words, {_SW['es']})) AS es_h
+      FROM w)
+    SELECT doc_id,
+           CASE WHEN cjk THEN 'zh'
+                WHEN greatest(en_h, de_h, fr_h, es_h) < 1 THEN 'und'
+                WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
+                WHEN de_h = greatest(en_h, de_h, fr_h, es_h) THEN 'de'
+                WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM h
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
+    """Rolling-hash fingerprint, md5 variant (oracle-checkable; the xxhash64
+    production variant is pytest-tested in tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = D.word_ngrams(F.col("text"), 8)
+    fp = F.when(
+        F.size(grams) > 0, F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    ).otherwise(F.md5(F.lower(F.col("text"))))
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, text,
+             CASE WHEN len(toks) < 8 THEN []
+                  ELSE [array_to_string(toks[i + 1 : i + 8], ' ')
+                        FOR i IN range(0, len(toks) - 8 + 1)] END AS grams
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN len(grams) > 0 THEN list_min([md5(g) FOR g IN grams])
+                ELSE md5(lower(text)) END AS fingerprint
+    FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# Retrieval: BM25, dense ANN, RRF fusion, boosts, diversify
+# --------------------------------------------------------------------------
+_QUERY_TEXT = "data table scan engine"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = S.bm25_scores(d, _QUERY_TEXT, k1=_BM25_K1, b=_BM25_B)
+    top = S.topk(scored.withColumn("bm25", F.round("bm25", 6)), "bm25", 20, "doc_id")
+    return top.select("doc_id", "bm25", F.col("rank").cast("long").alias("rank"))
+
+
+# the SQL mirrors bm25_scores term by term (same tokenizer, same formula)
+SQL_BM25_TOPK = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      FROM documents),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks
+           WHERE term IN ('data','table','scan','engine') GROUP BY id, term),
+    df AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT tf.id,
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({_BM25_K1} + 1))
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)) AS wt
+      FROM tf JOIN df USING (term) JOIN dl USING (id) CROSS JOIN stats)
+    SELECT id AS doc_id, bm25, rank FROM (
+      SELECT id, round(sum(wt), 6) AS bm25,
+             row_number() OVER (ORDER BY round(sum(wt), 6) DESC, id) AS rank
+      FROM w GROUP BY id)
+    WHERE rank <= 20
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id 0,1,2 — the exact
+    ANN baseline. Query vectors come from the table itself so Spark and the
+    oracle see identical floats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from .operators.search import cosine
+
+    scored = q.crossJoin(emb.select("vec_id", "embedding")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.embedding), 4) AS cos
+      FROM q CROSS JOIN embeddings e)
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+"""
+
+
+def q_rrf_fusion(spark, sf_dir) -> DataFrame:
+    """Weighted RRF over two deterministic rank lists from documents
+    (weights 2.0 / 1.0, k=60 — fusion contract of R1)."""
+    d = _t(spark, sf_dir, "documents")
+    la = (
+        d.select("doc_id", "n_chars")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n_chars"), F.col("doc_id"))),
+        )
+        .filter(F.col("rank") <= 50)
+        .drop("n_chars")
+    )
+    lb = d.select("doc_id").withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("doc_id")))
+    ).filter(F.col("rank") <= 50)
+    fused = S.rrf_fuse([(la, 2.0), (lb, 1.0)], "doc_id")
+    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+SQL_RRF_FUSION = """
+    WITH la AS (SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents) WHERE rank <= 50),
+    lb AS (SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rank
+        FROM documents) WHERE rank <= 50),
+    u AS (SELECT doc_id, 2.0 / (60 + rank) AS contrib FROM la
+          UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM lb)
+    SELECT doc_id, round(sum(contrib), 6) AS rrf_score FROM u GROUP BY doc_id
+"""
+
+
+def q_rank_boosts(spark, sf_dir) -> DataFrame:
+    """R5/R6: the exact boost formula over synthesized result rows."""
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        F.lit(0.0).alias("score"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("source_url"),
+        F.substring("text", 1, 60).alias("page_title"),
+    )
+    boosted = S.apply_ranking_boosts(rows, _QUERY_TEXT)
+    return boosted.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_RANK_BOOSTS = """
+    WITH rows_ AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN 'https://' || source || '.example.com/'
+                  ELSE 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+             END AS url,
+             substr(text, 1, 60) AS title
+      FROM documents),
+    feats AS (
+      SELECT doc_id, url, title,
+             len(list_filter(string_split(
+                 regexp_extract(url, '^[a-z]+://[^/]*(/.*)?$', 1), '/'),
+                 x -> x <> '')) AS depth,
+             list_filter(string_split_regex(lower(title), '[^a-zA-Z0-9]+'), x -> x <> '')
+             || list_filter(string_split_regex(lower(url), '[^a-zA-Z0-9]+'), x -> x <> '')
+               AS tw,
+             list_filter(string_split_regex(lower(
+                 regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1)), '[^a-zA-Z0-9]+'), x -> x <> '')
+             || list_filter(string_split_regex(lower(title), '[^a-zA-Z0-9]+'), x -> x <> '')
+               AS hw
+      FROM rows_),
+    scored AS (
+      SELECT doc_id,
+             0.5 / greatest(length(url), 1)
+             + (CASE WHEN depth = 0 THEN 1.25 ELSE 0.0 END)
+             + (CASE WHEN depth = 0
+                      AND list_contains(hw, 'data') AND list_contains(hw, 'table')
+                      AND list_contains(hw, 'scan') AND list_contains(hw, 'engine')
+                     THEN 2.0 ELSE 0.0 END)
+             - (CASE WHEN depth > 0 THEN depth * 0.12 ELSE 0.0 END)
+             + 3.0 * ((CASE WHEN list_contains(tw, 'data') THEN 1 ELSE 0 END)
+                    + (CASE WHEN list_contains(tw, 'table') THEN 1 ELSE 0 END)
+                    + (CASE WHEN list_contains(tw, 'scan') THEN 1 ELSE 0 END)
+                    + (CASE WHEN list_contains(tw, 'engine') THEN 1 ELSE 0 END)) / 4.0
+             AS score
+      FROM feats)
+    SELECT doc_id, round(score, 6) AS score FROM scored
+"""
+
+
+def q_dedup_diversify_paginate(spark, sf_dir) -> DataFrame:
+    """R7+R8+R9 over synthesized ranked results."""
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        F.col("doc_id").alias("rank"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("source_url"),
+    ).filter(F.col("rank") < 200)
+    out = S.unique_pages_diversified(rows)
+    return S.paginate(out, limit=20, offset=5).select(F.col("out_rank").cast("long").alias("out_rank"), "rank", "source_url")
+
+
+SQL_DEDUP_DIVERSIFY_PAGINATE = """
+    WITH rows_ AS (
+      SELECT doc_id AS rank,
+             'https://' || source || '.example.com/d/' || CAST(doc_id % 40 AS VARCHAR) AS source_url
+      FROM documents WHERE doc_id < 200),
+    uniq AS (
+      SELECT rank, source_url FROM (
+        SELECT rank, source_url,
+               row_number() OVER (PARTITION BY source_url ORDER BY rank) AS rn
+        FROM rows_) WHERE rn = 1),
+    hosts AS (
+      SELECT rank, source_url,
+             coalesce(lower(regexp_extract(source_url, '^[a-z]+://([^/:?#]*)', 1)), source_url) AS host
+      FROM uniq),
+    flagged AS (
+      SELECT rank, source_url,
+             row_number() OVER (PARTITION BY host ORDER BY rank) AS host_rn
+      FROM hosts),
+    pos AS (
+      SELECT rank, source_url, host_rn,
+             CASE WHEN host_rn = 1 THEN
+               row_number() OVER (ORDER BY CASE WHEN host_rn = 1 THEN rank END ASC NULLS LAST)
+             END AS diverse_pos
+      FROM flagged),
+    ordered AS (
+      SELECT rank, source_url,
+             row_number() OVER (ORDER BY
+               CASE WHEN diverse_pos IS NOT NULL AND diverse_pos <= 5 THEN 0 ELSE 1 END,
+               rank) AS out_rank
+      FROM pos)
+    SELECT out_rank, rank, source_url FROM ordered
+    WHERE out_rank > 5 AND out_rank <= 25
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (word 5-grams, threshold 0.2), with
+    hot-shingle pruning (df > 200) as the skew guard."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=5, threshold=0.2, max_doc_freq=200)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_JACCARD_PAIRS = """
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT id, unnest(
+        CASE WHEN len(toks) < 5 THEN []
+             ELSE [array_to_string(toks[i + 1 : i + 5], ' ')
+                   FOR i IN range(0, len(toks) - 5 + 1)] END) AS shingle
+      FROM t),
+    pruned AS (
+      SELECT * FROM sh WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 200)),
+    sizes AS (SELECT id, count(*) AS sz FROM pruned GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM pruned a JOIN pruned b USING (shingle)
+      WHERE a.id < b.id GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: engine-specific hashing / binary payloads)
+# --------------------------------------------------------------------------
+def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = D.near_duplicates_minhash(d, n=5, threshold=0.2, bands=8, rows_per_band=4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(d, max_hamming=3, blocks=4)
+
+
+def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(
+        emb, threshold=0.3, block_col="label"
+    ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def q_lsh_ann_topk(spark, sf_dir) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(map(float, r.embedding)))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    dim = len(qs[0][1])
+    idx = SS.lsh_index(emb, dim=dim, n_bits=6, n_tables=4)
+    return SS.lsh_topk(idx, qs, dim=dim, k=10, n_bits=6, n_tables=4).select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
+def q_image_decode_phash(spark, sf_dir) -> DataFrame:
+    """E10 plumbing over a deterministic image table synthesized from part:
+    encode seeded pixels per row, decode via the Arrow stage, verify phash
+    and (for lossy) the PSNR >= 40 dB invariant. No SQL oracle (binary)."""
+    import pandas as pd
+
+    from . import codecs as C
+    from .fixtures import make_pixels
+    from .operators.multimodal import decode_stats
+
+    part = _t(spark, sf_dir, "part").select("p_partkey").limit(2000)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                fmt = ["png", "jpeg", "webp"][k % 3]
+                px = make_pixels(7, k, 16, 16)
+                rows.append(
+                    {
+                        "image_id": f"p-{k}",
+                        "bytes": C.encode_image(px, fmt),
+                        "phash_true": C.phash64(C.decode_image(C.encode_image(px, fmt))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "phash_true"])
+
+    images = part.mapInPandas(
+        gen, "image_id string, bytes binary, phash_true long"
+    )
+    stats = decode_stats(images)
+    joined = stats.join(images.select("image_id", "phash_true"), "image_id")
+    return joined.select(
+        "image_id",
+        "decode_ok",
+        (F.col("phash") == F.col("phash_true")).alias("phash_ok"),
+        "w",
+        "h",
+    )
+
+
+def q_multimodal_frames(spark, sf_dir) -> DataFrame:
+    """Video frame-sampling plumbing over fake media containers."""
+    import pandas as pd
+
+    from .operators.multimodal import fake_media_payload, sample_video_frames
+
+    part = _t(spark, sf_dir, "part").select("p_partkey").limit(200)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    f"v-{int(k)}",
+                    fake_media_payload("video", 2.0 + int(k) % 5, 10, int(k)),
+                )
+                for k in pdf["p_partkey"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    media = part.mapInPandas(gen, "media_id string, bytes binary")
+    return sample_video_frames(media, target_fps=2.0)
+
+
+def q_crawl_bsp(spark, sf_dir) -> DataFrame:
+    """The real BSP crawl runner over the deterministic fixture web —
+    rows-only here; exact equivalence vs the sequential reference simulator
+    is asserted in tests/test_frontier.py."""
+    import tempfile
+
+    from .fixtures import make_all
+    from .plans.crawl_plan import CrawlRunner
+
+    fx = make_all(seed=42, n_hosts=6, n_pages=80)
+    wd = tempfile.mkdtemp(prefix="crawl_q_")
+    runner = CrawlRunner(
+        spark,
+        wd,
+        pages=spark.createDataFrame(fx["pages"]),
+        redirects=spark.createDataFrame(fx["redirects"]),
+        images=spark.createDataFrame(fx["images"]),
+        robots_pdf=fx["robots"],
+        sitemaps_pdf=fx["sitemaps"],
+        budgets=spark.createDataFrame(fx["politeness_budget"]),
+        use_bloom=False,
+    )
+    runner.admit_requests(fx["seeds"].head(2))
+    runner.run(max_rounds=30)
+    return runner.t_visits.read().select("request_id", "seq", "url", "depth", "outcome")
+
+
+QUERIES = {
+    "url_canonicalize": q_url_canonicalize,
+    "url_filters": q_url_filters,
+    "bfs_frontier": q_bfs_frontier,
+    "seen_antijoin": q_seen_antijoin,
+    "interleave": q_interleave,
+    "topk_per_group": q_topk_per_group,
+    "page_version": q_page_version,
+    "dedup_exact": q_dedup_exact,
+    "metrics_rollup": q_metrics_rollup,
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bm25_topk": q_bm25_topk,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "rrf_fusion": q_rrf_fusion,
+    "rank_boosts": q_rank_boosts,
+    "dedup_diversify_paginate": q_dedup_diversify_paginate,
+    "jaccard_pairs": q_jaccard_pairs,
+    # rows-only (no SQL-expressible oracle)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "image_decode_phash": q_image_decode_phash,
+    "multimodal_frames": q_multimodal_frames,
+    "crawl_bsp": q_crawl_bsp,
+}
+
+ORACLES = {
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "url_filters": SQL_URL_FILTERS,
+    "bfs_frontier": SQL_BFS_FRONTIER,
+    "seen_antijoin": SQL_SEEN_ANTIJOIN,
+    "interleave": SQL_INTERLEAVE,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "page_version": SQL_PAGE_VERSION,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "metrics_rollup": SQL_METRICS_ROLLUP,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "bm25_topk": SQL_BM25_TOPK,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "rank_boosts": SQL_RANK_BOOSTS,
+    "dedup_diversify_paginate": SQL_DEDUP_DIVERSIFY_PAGINATE,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+}

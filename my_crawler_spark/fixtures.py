@@ -153,8 +153,8 @@ def make_web(
             st = 500
         elif u < 0.12:
             st, fl = 503, int(rr.integers(1, 5))  # flaky: fails fl times
-        elif u < 0.13:
-            st = 403  # blocks its whole origin from then on
+        elif u < 0.13 and row.host not in (_host(0), _host(1)):
+            st = 403  # blocks its whole origin (keep seed hosts crawlable)
         elif u < 0.15:
             ct = "application/pdf"
         elif u < 0.16:
@@ -173,13 +173,22 @@ def make_web(
             df.loc[mask_idx, col] = val
 
     plain = df.index[df.url.str.contains("/a.*/p", regex=True) & ~df.url.str.endswith(("p0", "p1"))]
-    if len(plain) >= 8:
-        _force(plain[2], status=403)
+    away = df.index[
+        df.url.str.contains("/a.*/p", regex=True)
+        & ~df.url.str.endswith(("p0", "p1"))
+        & ~df.host.isin([_host(0), _host(1)])
+    ]
+    if len(plain) >= 8 and len(away) >= 2:
+        _force(away[0], status=403)  # blocked-origin path, off the seed hosts
         _force(plain[3], status=301)
-        _force(plain[4], status=503, flaky_fail_times=4)
+        _force(away[1], status=503, flaky_fail_times=4)
         _force(plain[5], status=503, flaky_fail_times=1)
         _force(plain[6], content_type="application/pdf")
         _force(plain[7], body_len=6 * 1024 * 1024)
+    # seeds must resolve: force the seed URLs healthy
+    seeds_idx = df.index[df.url.str.endswith(("/a0/p0", "/a0/p1"))]
+    _force(seeds_idx, status=200, content_type="text/html", flaky_fail_times=0,
+           body_len=50_000)
 
     # redirect edges for every 3xx page; one long chain (>10) per run
     rd = _rng(seed, "redir")
@@ -302,8 +311,13 @@ def make_web(
                 )
     sitemaps = pd.DataFrame(sm_rows)
 
+    host403 = df.loc[away[0], "host"] if len(away) else _host(4)
     seeds_df = pd.DataFrame(
         [
+            # request 5 crawls the host carrying the forced 403 -> exercises
+            # blocked-origin propagation (crawl_loop.rs:187-195) end-to-end
+            {"request_id": 5, "url": f"https://{host403}/a0/p0", "max_pages": 30,
+             "max_depth": 10, "same_domain": True},
             {"request_id": 1, "url": f"https://{_host(0)}/a0/p0", "max_pages": 25,
              "max_depth": 10, "same_domain": True},
             {"request_id": 2, "url": f"https://{_host(1)}/a0/p0", "max_pages": 10,
@@ -317,7 +331,7 @@ def make_web(
 
     budgets = pd.DataFrame(
         {"host": [_host(k) for k in range(n_hosts)],
-         "tokens_per_round": [3 if k == 0 else 2 for k in range(n_hosts)]}
+         "tokens_per_round": [8 if k == 0 else 5 for k in range(n_hosts)]}
     )
     ranks = pd.DataFrame(
         {"rank": np.arange(1, n_hosts + 1),

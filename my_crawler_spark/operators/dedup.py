@@ -1,0 +1,282 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Beyond the reference's URL-level dedup (Q4), these are the document-level
+dedup operators a 100 TB corpus pipeline needs. All are DataFrame-native;
+the only Python is hashing inside whole-stage-codegen-friendly exprs
+(xxhash64/md5 are built-ins) — no UDFs at all except none.
+
+- exact_duplicates      : hash-groupBy on normalized text (one shuffle)
+- ngram_shingles        : word n-gram shingle sets as array column
+- jaccard_pairs         : blocked pairwise Jaccard via shingle explode +
+                          self-join (block key bounds the quadratic term)
+- minhash_signatures    : k permutations via xxhash64(concat(shingle, seed))
+                          min-aggregated — one explode, no Python
+- lsh_candidate_pairs   : band the signature, join on (band, band_hash) —
+                          the classic MinHash-LSH candidate generation
+- simhash64             : 64-bit SimHash from token hashes via bit-counting
+                          in SQL (explode + per-bit majority)
+- near_duplicates_minhash: end-to-end LSH + exact-Jaccard verification
+
+Scale notes: every operator is a constant number of shuffles independent
+of corpus size; LSH bands make the near-dup join linear-ish in candidates.
+Skewed shingles (stop-phrases) are capped by `max_doc_freq` pruning —
+standard practice to stop hot-shingle join explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(col) -> F.Column:
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (modulo whitespace/case) docs -> one row per
+    duplicated group member with its canonical (min-id) representative."""
+    h = F.md5(normalized_text(F.col(text_col)))
+    hashed = docs.select(F.col(id_col), h.alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("group_size", F.count("*").over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .filter(F.col("group_size") > 1)
+        .select(id_col, "text_hash", "group_size", "canonical_id")
+    )
+
+
+def word_ngrams(col, n: int) -> F.Column:
+    """Array of word n-grams (space-joined) from a text column."""
+    toks = F.filter(F.split(F.lower(col), r"[^a-z0-9\p{L}]+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def ngram_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded, distinct per doc."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard >= threshold -> (id_a, id_b, jaccard).
+
+    |A∩B| via shingle self-join; |A∪B| = |A|+|B|-|A∩B|. ``max_doc_freq``
+    prunes stop-shingles before the join (skew guard)."""
+    sh = ngram_shingles(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_doc_freq
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<long>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy; hashing stays in
+    codegen (xxhash64 is a native expression)."""
+    sh = ngram_shingles(docs, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        F.col("id"), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    x = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    y = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_duplicates_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard (the scalable
+    near-dup pipeline: shingle -> minhash -> band -> bucket-join -> verify)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n, bands * rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = ngram_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("s2")), "id_b")
+        .filter(F.col("shingle") == F.col("s2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc, fully relational: explode tokens, xxhash64,
+    per-bit signed majority, reassemble bits with shiftleft/bit_or."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9\p{L}]+"), lambda t: t != "")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    per_bit = toks.select(
+        "id",
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(64)
+        ],
+    ).groupBy("id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return per_bit.select(F.col("id").alias(id_col), acc.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Hamming-ball near-dups via the pigeonhole trick: split the 64-bit
+    hash into `blocks` chunks; any pair within `max_hamming < blocks` must
+    agree on >= one chunk -> join per chunk, verify with bit_count(xor)."""
+    sh = simhash64(docs, id_col, text_col)
+    width = 64 // blocks
+    chunked = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"c{i}")
+            for i in range(blocks)
+        ],
+    )
+    pairs = None
+    for i in range(blocks):
+        a = chunked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{i}").alias("ck"))
+        b = chunked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{i}").alias("ck"))
+        p = a.join(b, "ck").filter(F.col("id_a") < F.col("id_b")).drop("ck")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold. Optional
+    blocking column bounds the self-join (at scale: LSH buckets from
+    operators/simsearch.py)."""
+    from .search import cosine
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                          *( [F.col(block_col).alias("blk")] if block_col else []))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                          *( [F.col(block_col).alias("blk")] if block_col else []))
+    j = a.join(b, "blk") if block_col else a.crossJoin(b)
+    return (
+        j.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,148 @@
+"""Fetch-extract for the image+caption payload (E1-E10, S10).
+
+One Arrow-batched mapInPandas stage per crawl round:
+decode ``bytes`` by sniffing (png / fake-lossy), verify the stored
+``phash`` against the decoded pixels (per-row invariant,
+BASELINE.json input_hint), pair the ``caption`` and run the reference's
+extraction pipeline on it (title/description/greedy chunker — semantics in
+functions/text.py, constants index.rs:11-13), emitting a chunks
+array-of-struct per page which the runner posexplodes into the chunks sink
+(chunk_index <- posexplode ordinal, qdrant.rs:118).
+
+No per-row Python UDFs: decode+extract batch over Arrow record batches;
+the embedding (S10 stand-in: hash-seeded gaussian, unit-normalized —
+replaces the TEI e5 HTTP call, qdrant.rs:143-159) is a scalar pandas_udf.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import codecs
+from ..functions.text import extract_caption_page
+
+EMBED_DIM = 384  # e5-small dimension (qdrant.rs:50, compose.yml:17-18)
+
+CHUNK_STRUCT = StructType(
+    [
+        StructField("chunk_content", StringType()),
+        StructField("chunk_heading", StringType()),
+        StructField("chunk_index", LongType()),
+        StructField("page_title", StringType()),
+        StructField("description", StringType()),
+        StructField("source_url", StringType()),
+        StructField("page_version", StringType()),
+        StructField("point_id", StringType()),
+    ]
+)
+
+
+def extract_schema(carry: StructType) -> StructType:
+    return StructType(
+        list(carry.fields)
+        + [
+            StructField("decode_ok", BooleanType()),
+            StructField("phash_ok", BooleanType()),
+            StructField("phash_got", LongType()),
+            StructField("page_title", StringType()),
+            StructField("description", StringType()),
+            StructField("chunks", ArrayType(CHUNK_STRUCT)),
+        ]
+    )
+
+
+def extract_pages(fetched: DataFrame, images: DataFrame) -> DataFrame:
+    """fetched(request_id, seq, final_url, image_id, ...) ⋈ images -> one row
+    per page with decode/phash verdicts and the packed chunks array.
+
+    Join note: images is the 100 TB table — the join key is its primary key
+    so this is a shuffle-hash join pruned to (bytes, caption, phash, fmt);
+    column pruning keeps the scan narrow (verified via .explain in tests).
+    """
+    img = images.select(
+        "image_id", "bytes", "caption", "phash",
+    )
+    joined = fetched.join(img, "image_id", "left")
+    carry_cols = [
+        f.name for f in joined.schema.fields if f.name not in ("bytes", "caption", "phash")
+    ]
+    out_schema = extract_schema(joined.select(*carry_cols).schema)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = rec._asdict()
+                caption = d.pop("caption") or ""
+                data = d.pop("bytes")
+                want_phash = d.pop("phash")
+                decode_ok, phash_ok, phash_got = False, False, None
+                if data is not None:
+                    try:
+                        px = codecs.decode_image(bytes(data))
+                        phash_got = codecs.phash64(px)
+                        decode_ok = True
+                        phash_ok = want_phash is not None and int(want_phash) == phash_got
+                    except Exception:
+                        pass
+                page = extract_caption_page(d.get("final_url") or "", caption)
+                rows.append(
+                    {
+                        **{k: d.get(k) for k in carry_cols},
+                        "decode_ok": decode_ok,
+                        "phash_ok": phash_ok,
+                        "phash_got": phash_got,
+                        "page_title": page["title"],
+                        "description": page["description"],
+                        "chunks": page["chunks"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return joined.mapInPandas(run, out_schema)
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def deterministic_embedding(text: pd.Series) -> pd.Series:
+    """S10 stand-in: sha256-seeded unit-normalized gaussian, EMBED_DIM dims.
+
+    Deterministic (same text -> same vector) so the DuckDB oracle and
+    resume tests stay exact. Batch-vectorized; Arrow transfers the result.
+    """
+    out = []
+    for t in text.fillna(""):
+        seed = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
+        v = np.random.default_rng(seed).standard_normal(EMBED_DIM).astype(np.float32)
+        v /= np.linalg.norm(v) or 1.0
+        out.append(v)
+    return pd.Series(out)
+
+
+def explode_chunks(pages: DataFrame) -> DataFrame:
+    """pages-with-chunks -> one row per chunk + embedding (sink shape)."""
+    c = pages.select(
+        "request_id", F.explode("chunks").alias("c")
+    ).select("request_id", "c.*")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("passage: "), F.col("page_title")),
+        F.coalesce(F.col("chunk_heading"), F.lit("")),
+        F.col("chunk_content"),
+    )
+    return c.withColumn("embedding", deterministic_embedding(text))

@@ -1,0 +1,163 @@
+"""Synthetic fetch as a distributed join (S1/S2/Q7, F6/F7).
+
+The graft's "web" is the pages/redirects/images tables: fetching a URL is
+an equi-join ``frontier ⋈ pages ON url`` (a real-web variant would swap
+this stage for a mapInArrow batched HTTP client — same dataflow contract).
+
+Semantics reproduced (see oracle/reference_sim.py for the sequential twin):
+- retry exhaustion: flaky_fail_times >= 3 attempts -> Http error
+  (web_visitor.rs:24,144-184); < 3 -> eventual success (deterministic web)
+- 403 -> Blocked(url-of-hop) (web_visitor.rs:121-123,152)
+- 3xx -> follow redirects table, <= 10 hops (web_visitor.rs:120,186-217);
+  implemented as a *bounded iterative join*: each iteration joins only the
+  still-redirecting subset against redirects then pages — subset shrinks
+  monotonically, so at scale each hop is a small shuffle, not a re-scan
+- non-2xx -> Http error; non-HTML content type -> UnsupportedContentType
+  (web_visitor.rs:127-134); body > 5 MiB -> BodyTooLarge
+  (web_visitor.rs:25,220-241)
+
+Output per input row: fetch_kind ('ok'|'blocked'|'failed'),
+final_url, image_id, outlinks, blocked_url, error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ATTEMPTS = 3
+MAX_REDIRECTS = 10
+MAX_HTML_BYTES = 5 * 1024 * 1024
+ALLOWED_CTYPES = ("text/html", "application/xhtml+xml")
+
+_RESULT_COLS = ("fetch_kind", "final_url", "image_id", "outlinks", "blocked_url", "fetch_error")
+
+
+def _classify(hop: DataFrame) -> DataFrame:
+    """Resolve one hop: rows joined with their pages row -> terminal result
+    or 'redirect' continuation. Input cols: cur_url + pages cols (nullable)."""
+    eff_status = (
+        F.when(F.col("flaky_fail_times") >= MAX_ATTEMPTS, F.col("status"))
+        .when(F.col("flaky_fail_times") > 0, F.lit(200))
+        .otherwise(F.col("status"))
+    )
+    return (
+        hop.withColumn("__status", eff_status)
+        .withColumn(
+            "fetch_kind",
+            F.when(F.col("status").isNull(), F.lit("failed"))  # connect error
+            .when(F.col("flaky_fail_times") >= MAX_ATTEMPTS, F.lit("failed"))
+            .when(F.col("__status") == 403, F.lit("blocked"))
+            .when(
+                (F.col("__status") >= 300) & (F.col("__status") < 400), F.lit("redirect")
+            )
+            .when((F.col("__status") < 200) | (F.col("__status") >= 300), F.lit("failed"))
+            .when(~F.col("content_type").isin(*ALLOWED_CTYPES), F.lit("failed"))
+            .when(F.col("body_len") > MAX_HTML_BYTES, F.lit("failed"))
+            .otherwise(F.lit("ok")),
+        )
+        .withColumn(
+            "fetch_error",
+            F.when(F.col("status").isNull(), F.lit("http:connect"))
+            .when(
+                F.col("flaky_fail_times") >= MAX_ATTEMPTS,
+                F.concat(F.lit("http:"), F.col("status").cast("string")),
+            )
+            .when(
+                (F.col("fetch_kind") == "failed")
+                & ((F.col("__status") < 200) | (F.col("__status") >= 300)),
+                F.concat(F.lit("http:"), F.col("__status").cast("string")),
+            )
+            .when(
+                (F.col("fetch_kind") == "failed")
+                & ~F.col("content_type").isin(*ALLOWED_CTYPES),
+                F.lit("unsupported_content_type"),
+            )
+            .when(F.col("fetch_kind") == "failed", F.lit("body_too_large"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .drop("__status")
+    )
+
+
+def fetch_join(frontier: DataFrame, pages: DataFrame, redirects: DataFrame) -> DataFrame:
+    """frontier(request_id, seq, url, ...) -> + fetch result columns.
+
+    Scale notes: the first join is the big one — pages should be bucketed
+    by url so it's a co-located shuffle-hash join; redirect iterations only
+    carry the (tiny) still-redirecting subset. AQE handles the skewed-host
+    fan-in on the pages side.
+    """
+    pages_cols = pages.select(
+        F.col("url").alias("cur_url"),
+        "status",
+        "content_type",
+        "flaky_fail_times",
+        "body_len",
+        "image_id",
+        "outlinks",
+    )
+    red = redirects.select(
+        F.col("src_url").alias("cur_url"), F.col("dst_url").alias("__next_url")
+    )
+
+    work = frontier.withColumn("cur_url", F.col("url"))
+    resolved_parts: list[DataFrame] = []
+    cached: list[DataFrame] = []
+    for hop in range(MAX_REDIRECTS + 1):
+        joined = _classify(work.join(pages_cols, "cur_url", "left")).cache()
+        cached.append(joined)
+        terminal = joined.filter(F.col("fetch_kind") != "redirect")
+        resolved_parts.append(
+            terminal.withColumn(
+                "final_url",
+                F.when(F.col("fetch_kind") == "ok", F.col("cur_url")).otherwise(F.lit(None)),
+            ).withColumn(
+                "blocked_url",
+                F.when(F.col("fetch_kind") == "blocked", F.col("cur_url")).otherwise(
+                    F.lit(None)
+                ),
+            )
+        )
+        redirecting = joined.filter(F.col("fetch_kind") == "redirect")
+        if hop == MAX_REDIRECTS:
+            # hop budget exhausted -> Redirect error (web_visitor.rs:120)
+            resolved_parts.append(
+                redirecting.withColumn("fetch_kind", F.lit("failed"))
+                .withColumn("fetch_error", F.lit("redirect"))
+                .withColumn("final_url", F.lit(None).cast("string"))
+                .withColumn("blocked_url", F.lit(None).cast("string"))
+            )
+            break
+        # follow the edge; a missing edge is a Redirect error too
+        stepped = redirecting.drop(
+            "status", "content_type", "flaky_fail_times", "body_len", "image_id",
+            "outlinks", "fetch_kind", "fetch_error",
+        ).join(red, "cur_url", "left")
+        dead = stepped.filter(F.col("__next_url").isNull()).drop("__next_url")
+        resolved_parts.append(
+            dead.withColumn("fetch_kind", F.lit("failed"))
+            .withColumn("fetch_error", F.lit("redirect"))
+            .withColumn("final_url", F.lit(None).cast("string"))
+            .withColumn("blocked_url", F.lit(None).cast("string"))
+            .withColumn("status", F.lit(None).cast("int"))
+            .withColumn("content_type", F.lit(None).cast("string"))
+            .withColumn("flaky_fail_times", F.lit(None).cast("int"))
+            .withColumn("body_len", F.lit(None).cast("long"))
+            .withColumn("image_id", F.lit(None).cast("string"))
+            .withColumn("outlinks", F.lit(None).cast("array<string>"))
+        )
+        work = (
+            stepped.filter(F.col("__next_url").isNotNull())
+            .withColumn("cur_url", F.col("__next_url"))
+            .drop("__next_url")
+        )
+        # the cached `joined` makes this a cheap incremental check, and the
+        # redirecting subset shrinks monotonically
+        if work.isEmpty():
+            break
+
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part, allowMissingColumns=True)
+    return out.drop("cur_url", "status", "content_type", "flaky_fail_times", "body_len")

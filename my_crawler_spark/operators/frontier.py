@@ -1,0 +1,248 @@
+"""Frontier-round control plane: the gate fold + link admission (Q3-Q5).
+
+The reference's per-pop gate sequence (crawl_loop.rs:143-256) is inherently
+sequential *per request* — budget and blocked-origin state mutate as the
+FIFO drains. The heavy plane (fetch join, image decode, chunking) runs
+fully distributed; this module then applies the cheap sequential gates over
+narrow control columns only:
+
+- ``gate_fold``: groupBy(request_id).applyInPandas — one pass in seq order
+  per request (requests fold in parallel; within a request the fold is the
+  semantics, not an implementation shortcut). Control row ~100 bytes; a
+  10^6-row round folds in well under a second per request group.
+- ``admit_links``: the enqueue-dedup (crawl_loop.rs:258-272) as joins. The
+  queued/visited checks are *time-sensitive* — a link target is skipped
+  only if its conflict existed at the moment its parent popped — expressed
+  as seq-inequality join conditions (see inline notes), then a per-target
+  min-(parent_seq, link_idx) winner. Bloom-prefiltered exact anti-join
+  against url_seen (operators/bloom.py).
+
+Gate order per popped row (must match crawl_loop.rs exactly):
+1. budget: crawled >= max_pages -> silent drop (depth>max still counted)
+2. depth  > max_depth -> skipped_depth          (crawl_loop.rs:145-150)
+3. visited or blocked-origin -> silent drop     (crawl_loop.rs:153-156)
+4. mark visited                                 (crawl_loop.rs:158)
+5. robots disallow -> skipped_robots            (crawl_loop.rs:160-165)
+6. fetch blocked(403) -> block origin           (crawl_loop.rs:187-195)
+7. fetch failed -> failed                       (crawl_loop.rs:196-201)
+8. mark final_url visited; trap(final) -> drop  (crawl_loop.rs:203-206)
+9. crawled += 1; indexed += has_chunks          (crawl_loop.rs:223-233)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.url import (
+    canonicalize_url,
+    is_crawl_trap,
+    looks_like_file_url,
+    url_host,
+    url_origin,
+)
+
+FOLD_IN_COLS = [
+    "request_id", "seq", "url", "depth", "origin", "pre_visited", "pre_blocked",
+    "robots_allowed_flag", "fetch_kind", "final_url", "blocked_url",
+    "final_is_trap", "has_chunks", "max_pages", "max_depth", "crawled_so_far",
+]
+
+FOLD_OUT_SCHEMA = StructType(
+    [
+        StructField("request_id", LongType()),
+        StructField("seq", LongType()),
+        StructField("url", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("outcome", StringType()),
+        StructField("final_url", StringType()),
+        StructField("visited_mark", BooleanType()),
+        StructField("final_mark", BooleanType()),
+        StructField("new_blocked_origin", StringType()),
+        StructField("crawled_flag", BooleanType()),
+        StructField("indexed_flag", BooleanType()),
+    ]
+)
+
+
+def gate_fold(control: DataFrame) -> DataFrame:
+    """Apply the sequential gate semantics per request over control columns."""
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        max_pages = int(pdf["max_pages"].iloc[0])
+        max_depth = int(pdf["max_depth"].iloc[0])
+        crawled = int(pdf["crawled_so_far"].iloc[0])
+        visited_new: set[str] = set()
+        blocked_new: set[str] = set()
+        out = []
+
+        def emit(r, outcome, visited=False, final=False, blocked=None,
+                 crawled_flag=False, indexed_flag=False):
+            out.append(
+                (r.request_id, r.seq, r.url, r.depth, outcome,
+                 r.final_url if final else None, visited, final, blocked,
+                 crawled_flag, indexed_flag)
+            )
+
+        for r in pdf.itertuples(index=False):
+            if crawled >= max_pages or r.depth > max_depth:
+                emit(r, "depth_skip" if r.depth > max_depth else "budget_skip")
+                continue
+            if (
+                r.pre_visited
+                or r.url in visited_new
+                or r.pre_blocked
+                or (r.origin in blocked_new)
+            ):
+                emit(r, "dup_skip")
+                continue
+            visited_new.add(r.url)
+            if not r.robots_allowed_flag:
+                emit(r, "robots", visited=True)
+                continue
+            if r.fetch_kind == "blocked":
+                from ..functions.url import py_origin
+
+                o = py_origin(r.blocked_url) if r.blocked_url else None
+                if o:
+                    blocked_new.add(o)
+                emit(r, "blocked", visited=True, blocked=o)
+                continue
+            if r.fetch_kind != "ok":
+                emit(r, "failed", visited=True)
+                continue
+            visited_new.add(r.final_url)
+            if r.final_is_trap:
+                emit(r, "final_trap", visited=True, final=True)
+                continue
+            crawled += 1
+            emit(
+                r, "crawled", visited=True, final=True,
+                crawled_flag=True, indexed_flag=bool(r.has_chunks),
+            )
+        return pd.DataFrame(out, columns=[f.name for f in FOLD_OUT_SCHEMA.fields])
+
+    return control.select(*FOLD_IN_COLS).groupBy("request_id").applyInPandas(
+        fold, FOLD_OUT_SCHEMA
+    )
+
+
+def admit_links(
+    crawled_rows: DataFrame,
+    fold_out: DataFrame,
+    deferred_frontier: DataFrame,
+    url_seen: DataFrame,
+    requests_dim: DataFrame,
+    spark,
+    bloom=None,
+) -> DataFrame:
+    """New-link admission for one round -> (request_id, url, host, depth,
+    parent_seq, link_idx) candidates in reference enqueue order.
+
+    crawled_rows: fold outcome == 'crawled' joined back to outlinks:
+                  (request_id, seq, depth, outlinks)
+    """
+    # extract_links filters (web_visitor.rs:315-331): scheme drop happens via
+    # canonicalize returning NULL; file-URL drop; then enqueue trap filter.
+    links = (
+        crawled_rows.select(
+            "request_id",
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.posexplode("outlinks").alias("link_idx", "href"),
+        )
+        .withColumn("url", canonicalize_url(F.col("href")))
+        .filter(F.col("url").isNotNull())
+        .filter(~looks_like_file_url(F.col("url")))
+        .filter(~is_crawl_trap(F.col("url")))  # enqueue trap gate (crawl_loop.rs:263)
+    )
+    # same_domain gate (crawl_loop.rs:230-233): origin(link) == origin(seed)
+    links = links.join(
+        F.broadcast(requests_dim.select("request_id", "seed_origin", "same_domain")),
+        "request_id",
+    ).filter(
+        (~F.col("same_domain")) | (url_origin(F.col("url")) == F.col("seed_origin"))
+    ).drop("seed_origin", "same_domain")
+
+    # --- time-sensitive queued/visited checks (see module docstring) -------
+    # a(t): the admitted row with this url, if any (urls unique per request)
+    admitted = fold_out.select(
+        F.col("request_id").alias("__a_rid"),
+        F.col("url").alias("__a_url"),
+        F.col("seq").alias("__a_seq"),
+        F.col("visited_mark").alias("__a_visited"),
+    )
+    links = links.join(
+        admitted,
+        (F.col("request_id") == F.col("__a_rid")) & (F.col("url") == F.col("__a_url")),
+        "left",
+    ).drop("__a_rid", "__a_url")
+    # M(t): earliest final_url visit mark for this url
+    finals = (
+        fold_out.filter(F.col("final_mark"))
+        .groupBy("request_id", "final_url")
+        .agg(F.min("seq").alias("__m_seq"))
+        .select(
+            F.col("request_id").alias("__m_rid"),
+            F.col("final_url").alias("__m_url"),
+            "__m_seq",
+        )
+    )
+    links = links.join(
+        finals,
+        (F.col("request_id") == F.col("__m_rid")) & (F.col("url") == F.col("__m_url")),
+        "left",
+    ).drop("__m_rid", "__m_url")
+    # pass iff: (no admitted row OR (it popped earlier and was not visited))
+    #       AND (no final mark at seq <= parent_seq)
+    links = links.filter(
+        (
+            F.col("__a_seq").isNull()
+            | ((F.col("__a_seq") < F.col("parent_seq")) & ~F.col("__a_visited"))
+        )
+        & (F.col("__m_seq").isNull() | (F.col("parent_seq") < F.col("__m_seq")))
+    ).drop("__a_seq", "__a_visited", "__m_seq")
+
+    # still-queued deferred rows block their url (queued-set membership)
+    links = links.join(
+        deferred_frontier.select("request_id", "url"), ["request_id", "url"], "left_anti"
+    )
+    # authoritative seen check (bloom-pruned)
+    from .bloom import anti_join_with_bloom
+
+    links = anti_join_with_bloom(
+        spark, links, url_seen.select("request_id", "url"),
+        ["request_id", "url"], bloom, "url",
+    )
+    # first enqueuer wins (crawl_loop.rs:269 queued.insert)
+    w = Window.partitionBy("request_id", "url").orderBy("parent_seq", "link_idx")
+    return (
+        links.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "href")
+        .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+        .withColumn("host", url_host(F.col("url")))
+        .drop("parent_depth")
+    )
+
+
+def assign_seqs(new_links: DataFrame, seq_base: DataFrame) -> DataFrame:
+    """FIFO enqueue counters: children numbered by (parent_seq, link_idx)
+    per request, offset by the request's running max seq (SURVEY §7)."""
+    w = Window.partitionBy("request_id").orderBy("parent_seq", "link_idx")
+    return (
+        new_links.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(seq_base), "request_id", "left")
+        .withColumn("seq", (F.coalesce(F.col("max_seq"), F.lit(0)) + F.col("__rn")))
+        .drop("__rn", "max_seq", "parent_seq", "link_idx")
+    )

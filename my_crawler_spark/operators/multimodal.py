@@ -1,0 +1,175 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with metadata structs; all
+processing is Arrow-batched ``mapInPandas`` — schema, batch shape and
+partitioning are real and tested. Decoders:
+
+- images: real (pure-python PNG + deterministic fake-lossy, codecs.py)
+- audio/video: STUBBED — the container has no codec libs, so
+  ``decode_audio``/``sample_video_frames`` raise NotImplementedError unless
+  the payload uses the deterministic fake container produced by
+  ``fake_media_payload`` (which lets the plumbing be tested end-to-end).
+
+Operators:
+- decode_stats     : decode + (w, h, mean_luma, phash) per image row
+- resize_images    : area-mean downsample to (w, h), re-encoded png
+- image_features   : tiny deterministic feature vector (luma histogram) —
+  the hook where a real vision encoder would slot in
+- sample_video_frames: frame indices at a target fps from the fake
+  container's metadata (decode itself stubbed)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codecs
+
+_FAKE_MEDIA_MAGIC = b"FAKEMEDIA1"
+
+
+def fake_media_payload(kind: str, duration_s: float, rate: int, seed: int) -> bytes:
+    """Deterministic stand-in for an audio/video bitstream: header carries
+    (kind, duration, rate); body is seeded noise. Clearly marked fake."""
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * rate) if kind == "audio" else int(duration_s * rate) * 16
+    body = rng.integers(0, 255, size=min(n, 65536), dtype=np.uint8).tobytes()
+    head = _FAKE_MEDIA_MAGIC + kind.encode()[:5].ljust(5) + struct.pack(">fI", duration_s, rate)
+    return head + zlib.compress(body, 1)
+
+
+def _parse_fake_media(data: bytes) -> tuple[str, float, int]:
+    if data[:10] != _FAKE_MEDIA_MAGIC:
+        raise NotImplementedError(
+            "real audio/video decode needs codec libs not present in this "
+            "container; only the deterministic fake container is supported"
+        )
+    kind = data[10:15].rstrip(b" ").decode()
+    duration, rate = struct.unpack(">fI", data[15:23])
+    return kind, float(duration), int(rate)
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = codecs.decode_image(bytes(data))
+                    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                    rows.append(
+                        (iid, px.shape[1], px.shape[0], float(luma.mean()),
+                         codecs.phash64(px), True)
+                    )
+                except Exception:
+                    rows.append((iid, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_STATS_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(run, DECODE_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def _area_resize(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    H, W, _ = px.shape
+    yi = (np.arange(H) * h // H).clip(0, h - 1)
+    xi = (np.arange(W) * w // W).clip(0, w - 1)
+    out = np.zeros((h, w, 3))
+    cnt = np.zeros((h, w, 1))
+    np.add.at(out, (yi[:, None].repeat(W, 1), xi[None, :].repeat(H, 0)), px)
+    np.add.at(cnt, (yi[:, None].repeat(W, 1), xi[None, :].repeat(H, 0)), 1.0)
+    return np.clip(out / np.maximum(cnt, 1), 0, 255).astype(np.uint8)
+
+
+def resize_images(images: DataFrame, w: int, h: int) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = codecs.decode_image(bytes(data))
+                rows.append((iid, codecs.encode_png(_area_resize(px, w, h)), w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Luma-histogram feature vector — the slot a real vision encoder fills."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = codecs.decode_image(bytes(data))
+                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                hist, _ = np.histogram(luma, bins=bins, range=(0, 256))
+                v = hist.astype(np.float32)
+                v /= v.sum() or 1.0
+                rows.append((iid, v))
+            yield pd.DataFrame(rows, columns=["image_id", "features"])
+
+    return images.select("image_id", "bytes").mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("ts_s", T.DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, target_fps: float = 1.0) -> DataFrame:
+    """Frame-sampling plan from the fake container's metadata; the pixel
+    decode itself is the stubbed step (see module docstring)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                kind, duration, rate = _parse_fake_media(bytes(data))
+                if kind != "video":
+                    continue
+                step = max(int(rate / target_fps), 1)
+                for fi in range(0, int(duration * rate), step):
+                    rows.append((mid, fi, fi / rate))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "bytes").mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,130 @@
+"""Per-host politeness admission (Q6) + robots gate (S4) for a crawl round.
+
+Reference semantics being re-expressed:
+- politeness: 1 request / 2 s / origin, 1 in-flight / origin
+  (spider/src/web_visitor.rs:29-62). In BSP terms a round of duration D
+  grants each host ``tokens_per_round ~= D / 2s`` fetch slots.
+- ordering: the reference frontier is strict FIFO *within a request*
+  (crawl_loop.rs:115-143); politeness delays but never reorders. The BSP
+  equivalent is **strict-prefix admission**: a round admits the longest
+  seq-prefix of the frontier in which no host exceeds its token budget.
+  Because every round is a contiguous prefix of the reference's visit
+  order, round boundaries cannot change any gate decision — politeness is
+  pure pacing, and the final visit order / seen set are independent of
+  token budgets (property-tested in tests/test_frontier.py).
+
+Both gates run inside ``groupBy(...).applyInPandas`` batches (north_rule):
+token ranking per host, robots matching per origin (body parsed once per
+group, matched vectorized over the group's URLs).
+
+Skew note (north_rule): admission only *ranks* per host — the heavy
+fetch/decode stage afterwards is free to salt a hot host's admitted rows
+across partitions (`salt = seq % S`); the token ledger itself must never
+be salted or counts would split. At 10^10 frontier rows the groupBy here
+shuffles only (request_id, seq, host, url-hash) control columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.robots import origin_allowed, robots_allowed
+
+DEFAULT_TOKENS_PER_ROUND = 8
+PRODUCT_TOKEN = "my_crawler"
+
+
+def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
+    """Mark each frontier row admitted/deferred for this round.
+
+    frontier: (request_id, url, host, depth, seq, fetchable:boolean)
+    budgets:  (host, tokens_per_round) — small dim, broadcast.
+
+    Returns frontier + ``admitted`` column. Strict prefix per request_id:
+    cutoff = min seq (per request) of any fetchable row whose within-host
+    rank exceeds its host budget; admitted = seq < cutoff.
+    """
+    rank_schema = StructType(
+        frontier.schema.fields
+        + [StructField("tokens_per_round", LongType()), StructField("host_rank", LongType())]
+    )
+
+    def rank_host(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq").copy()
+        tok = pdf["tokens_per_round"].iloc[0]
+        if pd.isna(tok):
+            tok = DEFAULT_TOKENS_PER_ROUND
+        # a zero/negative budget would starve the strict prefix forever
+        pdf["tokens_per_round"] = max(int(tok), 1)
+        pdf["host_rank"] = pdf["fetchable"].cumsum()  # only fetchable rows consume
+        return pdf
+
+    with_budget = frontier.join(
+        F.broadcast(budgets.withColumn("tokens_per_round", F.col("tokens_per_round").cast("long"))),
+        "host",
+        "left",
+    )
+    ranked = with_budget.groupBy("request_id", "host").applyInPandas(rank_host, rank_schema)
+
+    over = ranked.filter(
+        F.col("fetchable") & (F.col("host_rank") > F.col("tokens_per_round"))
+    )
+    cutoffs = over.groupBy("request_id").agg(F.min("seq").alias("cutoff_seq"))
+    return (
+        ranked.join(F.broadcast(cutoffs), "request_id", "left")
+        .withColumn(
+            "admitted", F.col("cutoff_seq").isNull() | (F.col("seq") < F.col("cutoff_seq"))
+        )
+        .drop("cutoff_seq", "tokens_per_round", "host_rank")
+    )
+
+
+def robots_gate(rows: DataFrame, robots_dim: DataFrame) -> DataFrame:
+    """Adds ``robots_allowed_flag`` via per-origin applyInPandas batches.
+
+    rows:       must carry (origin, url) (+ anything else, passed through)
+    robots_dim: (origin, entry_body:string nullable, allow_all:boolean) —
+                the cache-policy-resolved robots table (robots.rs:100-134).
+    Origins with no robots row behave as 404 allow-all (robots.rs:108-114).
+    """
+    out_schema = StructType(rows.schema.fields + [StructField("robots_allowed_flag", BooleanType())])
+
+    def check(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        body = pdf["__entry_body"].iloc[0]
+        allow_all = pdf["__allow_all"].iloc[0]
+        if pd.isna(allow_all):  # no robots row -> 4xx allow-all policy
+            body, allow_all = None, True
+        if body is None or (isinstance(body, float) and pd.isna(body)):
+            pdf["robots_allowed_flag"] = bool(allow_all)
+        else:
+            pdf["robots_allowed_flag"] = [
+                robots_allowed(body, PRODUCT_TOKEN, u) for u in pdf["url"]
+            ]
+        return pdf.drop(columns=["__entry_body", "__allow_all"])
+
+    joined = rows.join(
+        F.broadcast(
+            robots_dim.select(
+                "origin",
+                F.col("entry_body").alias("__entry_body"),
+                F.col("allow_all").alias("__allow_all"),
+            )
+        ),
+        "origin",
+        "left",
+    )
+    return joined.groupBy("origin").applyInPandas(check, out_schema)
+
+
+def py_robots_policy_allowed(entry_body: str | None, allow_all: bool, url: str) -> bool:
+    """Driver-side one-off check (seed admission) sharing the same matcher."""
+    return origin_allowed(entry_body, bool(allow_all), PRODUCT_TOKEN, url)

@@ -1,0 +1,100 @@
+"""Text analysis operators for the documents table (training-data QC).
+
+All pure column expressions (JVM/codegen) — no UDFs:
+
+- lang_id_expr      : n-gram/stopword-hit heuristic language ID over the
+  five fixture languages (en/de/fr/es/zh)
+- quality_score_expr: length / punctuation-ratio / stopword-ratio composite
+- token_count exprs : whitespace tokens + a BPE-ish regex token count
+- doc_fingerprint   : winnowing-style fingerprint = min xxhash64 over
+  word 8-grams (rolling-hash analogue, one explode)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "es"],
+}
+CJK_RANGE = r"[一-鿿]"
+
+
+def _hit_count(words: Column, lang: str) -> Column:
+    return F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Best-guess language code. CJK-character density beats stopword hits;
+    otherwise the language with the most distinct stopword matches wins
+    (ties resolved in en>de>fr>es order); no hits -> 'und'."""
+    words = F.array_distinct(F.filter(F.split(F.lower(text), r"[^\p{L}0-9]+"), lambda t: t != ""))
+    cjk = F.length(F.regexp_replace(text, "(?s)" + CJK_RANGE, "")) < F.length(text) * 0.7
+    scores = [(lang, _hit_count(words, lang)) for lang in STOPWORDS]
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in reversed(scores):  # earlier langs win ties (>=)
+        cond = s >= F.greatest(best_score, F.lit(1))
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(cjk, F.lit("zh")).otherwise(best_lang)
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of GPT-2-style pretokenizer matches: word pieces, numbers,
+    punctuation runs — a cheap, deterministic proxy for tokenizer cost."""
+    pieces = F.regexp_extract_all(
+        text, F.lit(r"(\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)"), 0
+    )
+    return F.size(pieces)
+
+
+def punct_ratio(text: Column) -> Column:
+    no_punct = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(text) - F.length(no_punct)) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.filter(F.split(F.lower(text), r"[^\p{L}0-9]+"), lambda t: t != "")
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    hits = F.size(
+        F.filter(words, lambda w: w.isin(*all_stops))
+    )
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """[0,1] composite: length band + low punctuation + stopword presence.
+    The exact blend is this engine's own contract (oracle-checked in SQL)."""
+    n = F.length(text)
+    len_score = F.when(n >= 200, F.lit(1.0)).otherwise(n / F.lit(200.0))
+    p = punct_ratio(text)
+    punct_score = F.when(p <= 0.1, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (p - 0.1) * 5.0)
+    )
+    s = stopword_ratio(text)
+    stop_score = F.least(s * 5.0, F.lit(1.0))
+    return F.round((len_score + punct_score + stop_score) / 3.0, 6)
+
+
+def doc_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, fingerprint) — min xxhash64 over word 8-grams; empty/short docs
+    fingerprint the whole normalized text."""
+    from .dedup import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n)
+    fp = F.when(
+        F.size(grams) > 0,
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))),
+    ).otherwise(F.xxhash64(F.lower(F.col(text_col))))
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

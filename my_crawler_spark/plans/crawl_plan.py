@@ -1,0 +1,507 @@
+"""CrawlRunner — the BSP crawl driver (SURVEY.md §3.1 rebuild lifecycle).
+
+Each round is one Spark job over the frontier snapshot:
+
+  frontier ──pre-gates (joins: url_seen, blocked_origins)──▶ admit_prefix
+     (politeness tokens, groupBy(host).applyInPandas) ──▶ robots_gate
+     (groupBy(origin).applyInPandas) ──▶ fetch_join (pages ⋈ redirects,
+     bounded iterative) ──▶ extract_pages (mapInPandas decode/phash/chunk)
+     ──▶ gate_fold (sequential per-request semantics over control columns)
+     ──▶ commits: url_seen ∪ marks, blocked_origins, visit_log, metrics,
+     chunks (upsert + stale-version delete), next frontier = deferred ∪
+     admit_links(...)
+
+All persistent state lives in SnapshotTable commits, so killing the driver
+between rounds and constructing a new CrawlRunner on the same workdir
+resumes exactly (tests/test_frontier.py::test_resume_mid_crawl).
+
+Determinism contract (SURVEY §7): explicit `seq` = the reference's FIFO
+enqueue counter; rounds admit strict seq-prefixes, so round boundaries
+(politeness pacing) cannot change gate decisions — the final visit_log
+sorted by (request_id, seq) equals the sequential oracle's visit order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.robots import policy_for_status, robots_sitemaps
+from ..functions.url import (
+    is_crawl_trap,
+    py_canonicalize_url,
+    py_is_crawl_trap,
+    py_origin,
+    py_same_origin,
+    url_host,
+    url_origin,
+)
+from ..operators import bloom as bloom_mod
+from ..operators.extract import explode_chunks, extract_pages
+from ..operators.fetch import fetch_join
+from ..operators.frontier import FOLD_IN_COLS, admit_links, assign_seqs, gate_fold
+from ..operators.politeness import admit_prefix, py_robots_policy_allowed, robots_gate
+from ..sources.lake import Catalog, upsert_chunks_with_stale_delete
+
+SITEMAP_MAX_DEPTH, SITEMAP_MAX_FILES, SITEMAP_HARD_CAP = 3, 20, 10_000
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+URL_SEEN_SCHEMA = T.StructType(
+    [T.StructField("request_id", T.LongType()), T.StructField("url", T.StringType())]
+)
+BLOCKED_SCHEMA = T.StructType(
+    [T.StructField("request_id", T.LongType()), T.StructField("origin", T.StringType())]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.LongType()),
+        T.StructField("crawled_so_far", T.LongType()),
+        T.StructField("max_seq", T.LongType()),
+    ]
+)
+VISIT_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("final_url", T.StringType()),
+        T.StructField("round", T.IntegerType()),
+    ]
+)
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.LongType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("crawled", T.LongType()),
+        T.StructField("indexed", T.LongType()),
+        T.StructField("failed", T.LongType()),
+        T.StructField("skipped_robots", T.LongType()),
+        T.StructField("skipped_depth", T.LongType()),
+        T.StructField("blocked", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+        T.StructField("deferred", T.LongType()),
+    ]
+)
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.LongType()),
+        T.StructField("chunk_content", T.StringType()),
+        T.StructField("chunk_heading", T.StringType()),
+        T.StructField("chunk_index", T.LongType()),
+        T.StructField("page_title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("source_url", T.StringType()),
+        T.StructField("page_version", T.StringType()),
+        T.StructField("point_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("snapshot", T.IntegerType()),
+        T.StructField("rows_written", T.LongType()),
+        T.StructField("partitions", T.IntegerType()),
+    ]
+)
+REQUESTS_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.LongType()),
+        T.StructField("seed_url", T.StringType()),
+        T.StructField("seed_origin", T.StringType()),
+        T.StructField("max_pages", T.IntegerType()),
+        T.StructField("max_depth", T.IntegerType()),
+        T.StructField("same_domain", T.BooleanType()),
+    ]
+)
+
+
+class CrawlRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        pages: DataFrame,
+        redirects: DataFrame,
+        images: DataFrame,
+        robots_pdf: pd.DataFrame,
+        sitemaps_pdf: pd.DataFrame,
+        budgets: DataFrame,
+        use_bloom: bool = True,
+        bloom_min_rows: int = 5000,
+        host_buckets: int = 32,
+    ):
+        self.bloom_min_rows = bloom_min_rows
+        self.spark = spark
+        self.catalog = Catalog(spark, workdir)
+        # Partition the big web tables by url so every round's fetch join is
+        # co-located (the 100 TB version buckets these once at ingest).
+        self.pages = pages.repartition(host_buckets, "url").cache()
+        self.redirects = redirects
+        self.images = images
+        self.budgets = budgets
+        self.use_bloom = use_bloom
+        # robots dim: apply the cache policy table once (robots.rs:100-134)
+        rows = []
+        for r in robots_pdf.itertuples():
+            body, allow_all, ttl = policy_for_status(int(r.status), r.body or "", None)
+            rows.append((r.origin, body, bool(allow_all), int(ttl)))
+        self.robots_pdf = pd.DataFrame(
+            rows, columns=["origin", "entry_body", "allow_all", "ttl_secs"]
+        )
+        self.robots_dim = spark.createDataFrame(
+            self.robots_pdf[["origin", "entry_body", "allow_all"]]
+        )
+        self.sitemaps_pdf = sitemaps_pdf
+        # state tables
+        self.t_frontier = self.catalog.table("frontier", FRONTIER_SCHEMA)
+        self.t_seen = self.catalog.table("url_seen", URL_SEEN_SCHEMA)
+        self.t_blocked = self.catalog.table("blocked_origins", BLOCKED_SCHEMA)
+        self.t_state = self.catalog.table("request_state", STATE_SCHEMA)
+        self.t_visits = self.catalog.table("visit_log", VISIT_LOG_SCHEMA)
+        self.t_metrics = self.catalog.table("metrics", METRICS_SCHEMA)
+        self.t_chunks = self.catalog.table("chunks", CHUNKS_SCHEMA)
+        self.t_lineage = self.catalog.table("lineage", LINEAGE_SCHEMA)
+        self.t_requests = self.catalog.table("requests", REQUESTS_SCHEMA)
+
+    # ------------------------------------------------------------------ admit
+    def _discover_sitemap_pages(self, seed: str, declared: list[str], max_pages: int) -> list[str]:
+        """sitemap::discover (sitemap.rs:17-75) over the sitemaps dim.
+
+        Driver-side on purpose: the file BFS is capped at 20 files / depth 3
+        per request (sitemap.rs:13-15) — a dimension lookup, not dataflow.
+        """
+        sm = self.sitemaps_pdf
+        initial = declared or [py_origin(seed) + "/sitemap.xml"]
+        queue = [(u, 0) for u in initial if py_same_origin(seed, u)]
+        files: set[str] = set()
+        pages: list[str] = []
+        limit = min(max_pages * 4, SITEMAP_HARD_CAP)
+        while queue:
+            url, depth = queue.pop(0)
+            if len(files) >= SITEMAP_MAX_FILES or len(pages) >= limit or depth > SITEMAP_MAX_DEPTH:
+                break
+            if url in files:
+                continue
+            files.add(url)
+            entries = sm[sm.sitemap_url == url]
+            if entries.empty:
+                continue
+            found = entries[entries.kind == "url"]
+            found = found[found["loc"].map(lambda l: py_same_origin(seed, l)).astype(bool)]
+            found = found.sort_values("lastmod", ascending=False, kind="stable")
+            pages.extend(found["loc"].tolist())
+            del pages[limit:]
+            if depth < SITEMAP_MAX_DEPTH:
+                nested = entries[entries.kind == "sitemap"]
+                nested = nested[nested["loc"].map(lambda l: py_same_origin(seed, l)).astype(bool)]
+                nested = nested.sort_values("lastmod", ascending=False, kind="stable")
+                queue.extend((l, depth + 1) for l in nested["loc"])
+        seen: set[str] = set()
+        out = []
+        for u in pages:
+            c = py_canonicalize_url(u)
+            if c and c not in seen:
+                seen.add(c)
+                out.append(c)
+                if len(out) >= limit:
+                    break
+        return out
+
+    def admit_requests(self, seeds_pdf: pd.DataFrame) -> list[int]:
+        """add_crawl_request + seed-time sitemap seeding (crawl_loop.rs:61-69,
+        106-141). Returns accepted request_ids."""
+        robots_by_origin = {
+            r.origin: (r.entry_body, r.allow_all) for r in self.robots_pdf.itertuples()
+        }
+        accepted, req_rows, frontier_rows, state_rows = [], [], [], []
+        for s in seeds_pdf.itertuples():
+            seed = py_canonicalize_url(s.url)
+            if seed is None or py_is_crawl_trap(seed):
+                continue
+            accepted.append(int(s.request_id))
+            origin = py_origin(seed)
+            req_rows.append(
+                (int(s.request_id), seed, origin, int(s.max_pages),
+                 int(s.max_depth), bool(s.same_domain))
+            )
+            seq = 1
+            frontier_rows.append((int(s.request_id), seed, _host_of(seed), 0, seq))
+            body, allow_all = robots_by_origin.get(origin, (None, True))
+            if py_robots_policy_allowed(body, allow_all, seed):
+                declared = robots_sitemaps(body)
+                for u in self._discover_sitemap_pages(seed, declared, int(s.max_pages)):
+                    if py_is_crawl_trap(u) or u == seed:
+                        continue
+                    if any(fr[1] == u and fr[0] == int(s.request_id) for fr in frontier_rows):
+                        continue
+                    seq += 1
+                    frontier_rows.append((int(s.request_id), u, _host_of(u), 1, seq))
+            state_rows.append((int(s.request_id), 0, seq))
+        self.t_requests.commit(self.spark.createDataFrame(req_rows, REQUESTS_SCHEMA))
+        self.t_frontier.commit(
+            self.spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA), mode="overwrite"
+        )
+        self.t_state.commit(self.spark.createDataFrame(state_rows, STATE_SCHEMA), mode="overwrite")
+        return accepted
+
+    def seed_frontier_bulk(self, request_id: int, urls: DataFrame,
+                           max_pages: int, max_depth: int = 10,
+                           same_domain: bool = False) -> None:
+        """Bulk-inject a large seed frontier for one request (the 10^10-URL
+        seed-frontier shape from BASELINE.json): urls(url:string) -> frontier
+        rows with seqs assigned by url order. Used by bench + resume tooling."""
+        from pyspark.sql import Window
+
+        rows = (
+            urls.select("url")
+            .withColumn("host", url_host(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn(
+                "seq", F.row_number().over(Window.orderBy("url")).cast("long")
+            )
+            .withColumn("request_id", F.lit(request_id).cast("long"))
+            .select(*[f.name for f in FRONTIER_SCHEMA])
+        )
+        first_url = rows.orderBy("seq").limit(1).collect()[0].url
+        n = rows.count()
+        self.t_requests.commit(
+            self.spark.createDataFrame(
+                [(request_id, first_url, py_origin(first_url), max_pages,
+                  max_depth, same_domain)],
+                REQUESTS_SCHEMA,
+            )
+        )
+        self.t_frontier.commit(rows, mode="append")
+        self.t_state.commit(
+            self.spark.createDataFrame([(request_id, 0, n)], STATE_SCHEMA)
+        )
+
+    # ------------------------------------------------------------------ round
+    def run_round(self, round_no: int) -> int:
+        """One BSP superstep. Returns number of frontier rows remaining."""
+        frontier = self.t_frontier.read()
+        if frontier.isEmpty():
+            return 0
+        spark = self.spark
+        seen = self.t_seen.read()
+        blocked = self.t_blocked.read()
+        state = self.t_state.read()
+        requests = self.t_requests.read()
+
+        ctl = (
+            frontier.join(
+                seen.withColumn("pre_visited", F.lit(True)), ["request_id", "url"], "left"
+            )
+            .withColumn("pre_visited", F.coalesce("pre_visited", F.lit(False)))
+            .withColumn("origin", url_origin(F.col("url")))
+            .join(
+                F.broadcast(blocked.withColumn("pre_blocked", F.lit(True))),
+                ["request_id", "origin"],
+                "left",
+            )
+            .withColumn("pre_blocked", F.coalesce("pre_blocked", F.lit(False)))
+            .join(F.broadcast(state), "request_id", "left")
+            .join(
+                F.broadcast(requests.select("request_id", "max_pages", "max_depth")),
+                "request_id",
+                "left",
+            )
+            .withColumn(
+                "fetchable",
+                (~F.col("pre_visited"))
+                & (~F.col("pre_blocked"))
+                & (F.col("depth") <= F.col("max_depth"))
+                & (F.col("crawled_so_far") < F.col("max_pages")),
+            )
+        )
+        marked = admit_prefix(ctl, self.budgets).cache()
+        admitted = marked.filter("admitted").drop("admitted")
+        deferred = marked.filter(~F.col("admitted")).select(*[f.name for f in FRONTIER_SCHEMA])
+
+        # robots gate, then fetch+extract only what passed every pre-gate
+        to_check = admitted.filter("fetchable")
+        checked = robots_gate(to_check, self.robots_dim)
+        to_fetch = checked.filter("robots_allowed_flag").select(
+            "request_id", "seq", "url", "depth"
+        )
+        fetched = fetch_join(to_fetch, self.pages, self.redirects).cache()
+        extracted = extract_pages(
+            fetched.filter(F.col("fetch_kind") == "ok"), self.images
+        ).cache()
+
+        # assemble control rows for the fold
+        fetch_ctl = fetched.select(
+            "request_id", "seq", "fetch_kind", "final_url", "blocked_url", "outlinks"
+        )
+        ext_ctl = extracted.select(
+            "request_id", "seq", (F.size("chunks") > 0).alias("has_chunks")
+        )
+        robots_ctl = checked.select("request_id", "seq", "robots_allowed_flag")
+        control = (
+            admitted.join(robots_ctl, ["request_id", "seq"], "left")
+            .withColumn("robots_allowed_flag", F.coalesce("robots_allowed_flag", F.lit(True)))
+            .join(fetch_ctl, ["request_id", "seq"], "left")
+            .join(ext_ctl, ["request_id", "seq"], "left")
+            .withColumn("has_chunks", F.coalesce("has_chunks", F.lit(False)))
+            .withColumn(
+                "final_is_trap",
+                F.coalesce(is_crawl_trap(F.col("final_url")), F.lit(False)),
+            )
+        )
+        fold_out = gate_fold(control.select(*FOLD_IN_COLS)).cache()
+
+        # ---- commits ----------------------------------------------------
+        marks = (
+            fold_out.filter("visited_mark")
+            .select("request_id", "url")
+            .unionByName(
+                fold_out.filter("final_mark").select(
+                    "request_id", F.col("final_url").alias("url")
+                )
+            )
+            .distinct()
+            .join(seen, ["request_id", "url"], "left_anti")
+        )
+        self._commit(round_no, "url_seen", self.t_seen, marks)
+
+        new_blocked = (
+            fold_out.filter(F.col("new_blocked_origin").isNotNull())
+            .select("request_id", F.col("new_blocked_origin").alias("origin"))
+            .distinct()
+            .join(blocked, ["request_id", "origin"], "left_anti")
+        )
+        self._commit(round_no, "blocked_origins", self.t_blocked, new_blocked)
+
+        visits = fold_out.filter(
+            F.col("outcome").isin("robots", "blocked", "failed", "final_trap", "crawled")
+        ).select(
+            "request_id", "seq", "url", "depth", "outcome", "final_url",
+            F.lit(round_no).alias("round"),
+        )
+        self._commit(round_no, "visit_log", self.t_visits, visits)
+
+        per_req = (
+            fold_out.groupBy("request_id")
+            .agg(
+                F.sum(F.col("crawled_flag").cast("long")).alias("crawled"),
+                F.sum(F.col("indexed_flag").cast("long")).alias("indexed"),
+                F.sum((F.col("outcome") == "failed").cast("long")).alias("failed"),
+                F.sum((F.col("outcome") == "robots").cast("long")).alias("skipped_robots"),
+                F.sum((F.col("outcome") == "depth_skip").cast("long")).alias("skipped_depth"),
+                F.sum((F.col("outcome") == "blocked").cast("long")).alias("blocked"),
+                F.count("*").alias("admitted"),
+            )
+            .withColumn("round", F.lit(round_no))
+        )
+        deferred_counts = deferred.groupBy("request_id").agg(F.count("*").alias("deferred"))
+        metrics = (
+            per_req.join(deferred_counts, "request_id", "left")
+            .withColumn("deferred", F.coalesce("deferred", F.lit(0)))
+            .select(*[f.name for f in METRICS_SCHEMA])
+        )
+        self._commit(round_no, "metrics", self.t_metrics, metrics)
+
+        crawled_rows = fold_out.filter(F.col("outcome") == "crawled")
+        chunks = explode_chunks(
+            extracted.join(
+                crawled_rows.select("request_id", "seq"), ["request_id", "seq"]
+            )
+        ).select(*[f.name for f in CHUNKS_SCHEMA])
+        snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
+        self._lineage(round_no, "chunks", snap, chunks.count())
+
+        # ---- next frontier ----------------------------------------------
+        seen_now = self.t_seen.read()
+        bloom = None
+        if self.use_bloom:
+            n = seen_now.count()
+            # below the threshold a plain anti-join beats two extra jobs
+            if n >= self.bloom_min_rows:
+                bloom = bloom_mod.build_bloom(seen_now, "url", expected_n=n)
+        link_parents = crawled_rows.select("request_id", "seq", "depth").join(
+            fetch_ctl.select("request_id", "seq", "outlinks"), ["request_id", "seq"]
+        )
+        new_links = admit_links(
+            link_parents, fold_out, deferred, seen_now, requests, spark, bloom
+        )
+        seq_base = state.select("request_id", "max_seq")
+        new_frontier_rows = assign_seqs(new_links, seq_base).select(
+            *[f.name for f in FRONTIER_SCHEMA]
+        )
+        next_frontier = deferred.unionByName(new_frontier_rows)
+        self._commit(round_no, "frontier", self.t_frontier, next_frontier, mode="overwrite")
+
+        new_state = (
+            state.join(
+                per_req.select("request_id", F.col("crawled").alias("__c")),
+                "request_id", "left",
+            )
+            .withColumn("crawled_so_far", F.col("crawled_so_far") + F.coalesce("__c", F.lit(0)))
+            .drop("__c")
+            .join(
+                new_frontier_rows.groupBy("request_id").agg(F.max("seq").alias("__ms")),
+                "request_id", "left",
+            )
+            .withColumn("max_seq", F.greatest("max_seq", F.coalesce("__ms", F.lit(0))))
+            .drop("__ms")
+        )
+        self._commit(round_no, "request_state", self.t_state, new_state, mode="overwrite")
+
+        self._flush_lineage()
+        remaining = self.t_frontier.read().count()
+        for df in (marked, fetched, extracted, fold_out):
+            df.unpersist()
+        return remaining
+
+    def run(self, max_rounds: int = 1000) -> int:
+        start = self.next_round()
+        for i in range(max_rounds):
+            if self.run_round(start + i) == 0:
+                return start + i
+        return start + max_rounds - 1
+
+    def next_round(self) -> int:
+        m = self.t_metrics.read()
+        if m.isEmpty():
+            return 1
+        return int(m.agg(F.max("round")).collect()[0][0]) + 1
+
+    # ------------------------------------------------------------------ misc
+    def _commit(self, round_no, name, table, df, mode="append"):
+        n = df.count()
+        snap = table.commit(df, mode=mode)
+        self._lineage(round_no, name, snap, n)
+
+    def _lineage(self, round_no, name, snap, n):
+        # buffered; one lineage commit per round (see _flush_lineage)
+        if not hasattr(self, "_lineage_buf"):
+            self._lineage_buf = []
+        self._lineage_buf.append(
+            (round_no, name, snap, int(n), self.spark.sparkContext.defaultParallelism)
+        )
+
+    def _flush_lineage(self):
+        buf = getattr(self, "_lineage_buf", [])
+        if buf:
+            self.t_lineage.commit(self.spark.createDataFrame(buf, LINEAGE_SCHEMA))
+            self._lineage_buf = []
+
+
+def _host_of(url: str) -> str:
+    from urllib.parse import urlsplit
+
+    return (urlsplit(url).hostname or "").lower()

@@ -1,0 +1,151 @@
+"""Snapshot-versioned table layer (Iceberg-style commits on parquet).
+
+The north_rule calls for Iceberg tables with snapshot checkpoints and
+resume. This container ships no Iceberg runtime jar, so this module
+implements the same *contract* on plain parquet with an atomic manifest:
+
+- a table is a directory of immutable parquet data dirs plus numbered
+  manifest files ``v{N}.json`` listing the data dirs in that snapshot;
+- ``commit(df, mode)`` writes a new data dir then atomically publishes a
+  new manifest (append = previous dirs + new dir, no rewrite — same cost
+  model as an Iceberg append);
+- ``read(snapshot_id=None)`` gives any historical snapshot (time travel),
+  which is exactly what crawl resume needs;
+- ``merge_upsert`` / ``delete_stale_versions`` mirror the reference's
+  Qdrant upsert + stale-version delete (spider/src/qdrant.rs:130-139) as
+  MERGE INTO-equivalents.
+
+On a real cluster with an Iceberg catalog configured, ``IcebergTable``
+(same interface, SQL-backed) is selected instead; the runner only talks to
+the interface. The manifest publish uses ``os.replace`` — atomic on POSIX —
+standing in for the catalog's atomic swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str, name: str, schema: StructType):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.schema = schema
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- manifest plumbing ---------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.dir, "CURRENT")
+
+    def current_snapshot(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest(self, snap: int) -> dict:
+        with open(os.path.join(self.dir, f"v{snap}.json")) as f:
+            return json.load(f)
+
+    def _publish(self, data_dirs: list[str], parent: int) -> int:
+        snap = parent + 1
+        manifest = {
+            "snapshot": snap,
+            "parent": parent,
+            "data_dirs": data_dirs,
+            "ts": time.time(),
+        }
+        path = os.path.join(self.dir, f"v{snap}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+        cur_tmp = self._current_path() + ".tmp"
+        with open(cur_tmp, "w") as f:
+            f.write(str(snap))
+        os.replace(cur_tmp, self._current_path())
+        return snap
+
+    # -- public API ------------------------------------------------------------
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.current_snapshot() if snapshot_id is None else snapshot_id
+        if snap == 0:
+            return self.spark.createDataFrame([], self.schema)
+        dirs = self._manifest(snap)["data_dirs"]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*dirs)
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write df as a new immutable data dir; publish a new snapshot."""
+        parent = self.current_snapshot()
+        prev_dirs = self._manifest(parent)["data_dirs"] if parent else []
+        if mode == "append" and df.isEmpty():
+            return self._publish(prev_dirs, parent)  # empty commit = checkpoint marker
+        data_dir = os.path.join(self.dir, f"data-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = prev_dirs + [data_dir] if mode == "append" else [data_dir]
+        return self._publish(dirs, parent)
+
+    def merge_upsert(self, new: DataFrame, key_cols: list[str]) -> int:
+        """MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT.
+
+        Parquet fallback rewrites the table (fine at test scale); Iceberg
+        backend does a real merge-on-read MERGE.
+        """
+        cur = self.read()
+        keep = cur.join(new.select(*key_cols).distinct(), key_cols, "left_anti")
+        return self.commit(keep.unionByName(new), mode="overwrite")
+
+    def delete_where(self, condition) -> int:
+        cur = self.read()
+        return self.commit(cur.filter(~condition), mode="overwrite")
+
+    def history(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+
+class Catalog:
+    """A workdir of SnapshotTables, one per state/output table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def table(self, name: str, schema: StructType) -> SnapshotTable:
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(self.spark, self.root, name, schema)
+        return self._tables[name]
+
+
+def upsert_chunks_with_stale_delete(
+    chunks_table: SnapshotTable, new_chunks: DataFrame
+) -> int:
+    """S8+S9: upsert points then delete stale versions of re-crawled pages
+    (qdrant.rs:130-139,180-186): for every source_url present in the new
+    batch, rows with a different page_version are dropped."""
+    cur = chunks_table.read()
+    versions = new_chunks.select("source_url", "page_version").distinct()
+    keep = cur.alias("c").join(
+        versions.alias("v"), F.col("c.source_url") == F.col("v.source_url"), "left"
+    ).filter(
+        F.col("v.source_url").isNull()
+        | (F.col("c.page_version") == F.col("v.page_version"))
+    ).select("c.*")
+    dedup = keep.join(new_chunks.select("point_id").distinct(), ["point_id"], "left_anti")
+    return chunks_table.commit(dedup.unionByName(new_chunks), mode="overwrite")
