@@ -293,9 +293,23 @@ class CrawlRunner:
     # ------------------------------------------------------------------ round
     def run_round(self, round_no: int) -> int:
         """One BSP superstep. Returns number of frontier rows remaining."""
+        import os
+        import time as _time
+
+        _profile = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        _t0 = _time.time()
+
+        def _mark(label):
+            nonlocal _t0
+            if _profile:
+                now = _time.time()
+                print(f"[round {round_no}] {label}: {now - _t0:.2f}s", flush=True)
+                _t0 = now
+
         frontier = self.t_frontier.read()
         if frontier.isEmpty():
             return 0
+        _mark("read_frontier")
         spark = self.spark
         seen = self.t_seen.read()
         blocked = self.t_blocked.read()
@@ -362,7 +376,10 @@ class CrawlRunner:
                 F.coalesce(is_crawl_trap(F.col("final_url")), F.lit(False)),
             )
         )
+        _mark("plan_assembled")
         fold_out = gate_fold(control.select(*FOLD_IN_COLS)).cache()
+        fold_out.count()
+        _mark("fold_executed")
 
         # ---- commits ----------------------------------------------------
         marks = (
@@ -377,6 +394,7 @@ class CrawlRunner:
             .join(seen, ["request_id", "url"], "left_anti")
         )
         self._commit(round_no, "url_seen", self.t_seen, marks)
+        _mark("commit_url_seen")
 
         new_blocked = (
             fold_out.filter(F.col("new_blocked_origin").isNotNull())
@@ -385,6 +403,7 @@ class CrawlRunner:
             .join(blocked, ["request_id", "origin"], "left_anti")
         )
         self._commit(round_no, "blocked_origins", self.t_blocked, new_blocked)
+        _mark("commit_blocked")
 
         visits = fold_out.filter(
             F.col("outcome").isin("robots", "blocked", "failed", "final_trap", "crawled")
@@ -393,6 +412,7 @@ class CrawlRunner:
             F.lit(round_no).alias("round"),
         )
         self._commit(round_no, "visit_log", self.t_visits, visits)
+        _mark("commit_visits")
 
         per_req = (
             fold_out.groupBy("request_id")
@@ -414,6 +434,7 @@ class CrawlRunner:
             .select(*[f.name for f in METRICS_SCHEMA])
         )
         self._commit(round_no, "metrics", self.t_metrics, metrics)
+        _mark("commit_metrics")
 
         crawled_rows = fold_out.filter(F.col("outcome") == "crawled")
         chunks = explode_chunks(
@@ -423,6 +444,7 @@ class CrawlRunner:
         ).select(*[f.name for f in CHUNKS_SCHEMA])
         snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
         self._lineage(round_no, "chunks", snap, chunks.count())
+        _mark("commit_chunks")
 
         # ---- next frontier ----------------------------------------------
         seen_now = self.t_seen.read()
@@ -432,6 +454,7 @@ class CrawlRunner:
             # below the threshold a plain anti-join beats two extra jobs
             if n >= self.bloom_min_rows:
                 bloom = bloom_mod.build_bloom(seen_now, "url", expected_n=n)
+        _mark("bloom")
         link_parents = crawled_rows.select("request_id", "seq", "depth").join(
             fetch_ctl.select("request_id", "seq", "outlinks"), ["request_id", "seq"]
         )
@@ -439,11 +462,15 @@ class CrawlRunner:
             link_parents, fold_out, deferred, seen_now, requests, spark, bloom
         )
         seq_base = state.select("request_id", "max_seq")
-        new_frontier_rows = assign_seqs(new_links, seq_base).select(
-            *[f.name for f in FRONTIER_SCHEMA]
+        # cache: reused for the frontier write AND the max_seq state update
+        new_frontier_rows = (
+            assign_seqs(new_links, seq_base)
+            .select(*[f.name for f in FRONTIER_SCHEMA])
+            .cache()
         )
         next_frontier = deferred.unionByName(new_frontier_rows)
         self._commit(round_no, "frontier", self.t_frontier, next_frontier, mode="overwrite")
+        _mark("commit_frontier")
 
         new_state = (
             state.join(
@@ -460,10 +487,11 @@ class CrawlRunner:
             .drop("__ms")
         )
         self._commit(round_no, "request_state", self.t_state, new_state, mode="overwrite")
+        _mark("commit_state")
 
         self._flush_lineage()
         remaining = self.t_frontier.read().count()
-        for df in (marked, fetched, extracted, fold_out):
+        for df in (marked, fetched, extracted, fold_out, new_frontier_rows):
             df.unpersist()
         return remaining
 

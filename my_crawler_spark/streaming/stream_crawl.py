@@ -1,0 +1,143 @@
+"""Structured Streaming face of the crawl engine (SURVEY.md §2.6).
+
+The reference is a continuously-running queue consumer
+(spider/src/crawl_loop.rs:75-95): an unbounded stream of CrawlRequests with
+per-key in-flight state (robots TTL cache, per-origin politeness tokens).
+The batch BSP runner (plans/crawl_plan.py) is the primary engine; this
+module is the streaming ingress + stateful-politeness layer on top:
+
+- ``admit_request_stream``  : readStream of crawl-request JSON lines ->
+  normalize (F1) + trap-reject (F4) -> admitted seeds stream
+  (add_crawl_request semantics, crawl_loop.rs:61-69)
+- ``politeness_token_stream``: applyInPandasWithState keyed by host — a
+  token-bucket per host (1 token / ``interval_s``, burst 1 — the
+  governor quota, web_visitor.rs:49-53); each micro-batch admits what the
+  bucket allows and defers the rest into state
+- ``metrics_window_stream``  : watermarked tumbling-window counts by
+  outcome over the visit log (R11 as a live dashboard feed)
+
+Late data note: a re-discovered URL arriving late is dropped by the
+seen-filter regardless of arrival time, so no special late-data semantics
+are needed beyond the watermark (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.url import canonicalize_url, is_crawl_trap, url_host
+
+REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("max_pages", T.IntegerType()),
+        T.StructField("max_depth", T.IntegerType()),
+        T.StructField("same_domain", T.BooleanType()),
+        T.StructField("enqueued_at", T.TimestampType()),
+    ]
+)
+
+
+def admit_request_stream(spark: SparkSession, requests_dir: str) -> DataFrame:
+    """File-source stream of JSON crawl requests -> admitted seed stream."""
+    raw = spark.readStream.schema(REQUEST_SCHEMA).json(requests_dir)
+    canon = raw.withColumn("seed", canonicalize_url(F.col("url")))
+    return (
+        canon.filter(F.col("seed").isNotNull())
+        .filter(~is_crawl_trap(F.col("seed")))
+        .select(
+            "request_id",
+            F.col("seed").alias("url"),
+            url_host(F.col("seed")).alias("host"),
+            "max_pages",
+            "max_depth",
+            "same_domain",
+            "enqueued_at",
+        )
+    )
+
+
+ADMIT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("batch_admitted", T.IntegerType()),
+        T.StructField("deferred_in_state", T.IntegerType()),
+    ]
+)
+ADMIT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("pending", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def politeness_token_stream(
+    urls: DataFrame, interval_s: float = 2.0, burst: int = 1
+) -> DataFrame:
+    """Per-host token bucket as streaming state (Q6, web_visitor.rs:29-62).
+
+    Input stream: (host, url, event_ts:double — seconds). Per micro-batch
+    and host: refill tokens at 1/interval_s up to ``burst``, admit that many
+    pending+new URLs FIFO, keep the rest in state. Emits admitted rows with
+    bucket telemetry.
+    """
+
+    def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (host,) = key
+        if state.exists:
+            tokens, last_ts, pending = state.get
+            pending = list(pending)
+        else:
+            tokens, last_ts, pending = float(burst), 0.0, []
+        new_urls: list[str] = []
+        now = last_ts
+        for pdf in pdfs:
+            if len(pdf):
+                new_urls.extend(pdf.sort_values("event_ts")["url"].tolist())
+                now = max(now, float(pdf["event_ts"].max()))
+        tokens = min(float(burst), tokens + max(now - last_ts, 0.0) / interval_s)
+        queue = pending + new_urls
+        n_admit = min(len(queue), int(tokens))
+        admitted, rest = queue[:n_admit], queue[n_admit:]
+        tokens -= n_admit
+        state.update((tokens, now, rest))
+        state.setTimeoutDuration(60_000)
+        if admitted:
+            yield pd.DataFrame(
+                {
+                    "host": host,
+                    "url": admitted,
+                    "batch_admitted": len(admitted),
+                    "deferred_in_state": len(rest),
+                }
+            )
+
+    return urls.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=ADMIT_OUT_SCHEMA,
+        stateStructType=ADMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def metrics_window_stream(
+    visits: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Live crawl metrics: tumbling-window outcome counts (R11)."""
+    return (
+        visits.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("outcome"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "outcome", "n")
+    )

@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_crawler_spark.operators.bloom import (
+    BloomFilter,
+    anti_join_with_bloom,
+    bloom_maybe_seen,
+    build_bloom,
+)
+
+
+def test_no_false_negatives(spark):
+    seen = spark.createDataFrame([(f"https://x.com/{i}",) for i in range(500)], ["url"])
+    bloom = build_bloom(seen, "url", expected_n=500, fpp=0.01)
+    tagged = bloom_maybe_seen(spark, seen, "url", bloom, "maybe")
+    assert tagged.filter(~F.col("maybe")).count() == 0  # every member hits
+
+
+def test_fpp_reasonable(spark):
+    seen = spark.createDataFrame([(f"https://x.com/{i}",) for i in range(2000)], ["url"])
+    bloom = build_bloom(seen, "url", expected_n=2000, fpp=0.01)
+    fresh = spark.createDataFrame(
+        [(f"https://y.com/{i}",) for i in range(2000)], ["url"]
+    )
+    fp = bloom_maybe_seen(spark, fresh, "url", bloom, "maybe").filter("maybe").count()
+    assert fp / 2000 < 0.05  # 1% target with slack
+
+
+def test_anti_join_equivalence(spark):
+    """Bloom-pruned anti-join == plain anti-join (correctness invariant)."""
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(1000)], ["url"])
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(0, 1000, 3)], ["url"])
+    bloom = build_bloom(seen, "url", expected_n=400)
+    with_bloom = {
+        r.url for r in anti_join_with_bloom(spark, cand, seen, ["url"], bloom, "url").collect()
+    }
+    plain = {r.url for r in cand.join(seen, ["url"], "left_anti").collect()}
+    assert with_bloom == plain
+
+
+def test_params_sizing():
+    m, k = BloomFilter.params(1_000_000, 0.01)
+    assert 9_000_000 < m < 11_000_000  # ~9.6 bits/key at 1%
+    assert 5 <= k <= 9

@@ -1,0 +1,83 @@
+"""Dedup suite: exact, jaccard, minhash-LSH recall, simhash, embedding."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_crawler_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different text about spark dataframes and shuffles here"),
+        (5, "THE  Quick brown fox jumps over the lazy dog and runs far away today"),  # ws/case dup
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_jaccard(a: str, b: str, n: int) -> float:
+    def sh(t):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_exact_duplicates(spark, docs):
+    got = D.exact_duplicates(docs).collect()
+    ids = {r.doc_id for r in got}
+    assert ids == {1, 2, 5}  # whitespace/case-normalized
+    assert all(r.canonical_id == 1 for r in got)
+
+
+def test_jaccard_matches_python(spark, docs):
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           D.jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=None).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for (a, b) in itertools.combinations(sorted(texts), 2):
+        want = _py_jaccard(texts[a], texts[b], 3)
+        if want >= 0.3:
+            assert got[(a, b)] == pytest.approx(want, rel=1e-6), (a, b)
+        else:
+            assert (a, b) not in got
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = D.jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=None)
+    lsh = D.near_duplicates_minhash(docs, n=3, threshold=0.5, bands=16, rows_per_band=4)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    # LSH verified with exact jaccard: no false positives; high-sim recall
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) >= len(exact_pairs) * 0.6
+
+
+def test_simhash_near_duplicates(spark, docs):
+    got = {(r.id_a, r.id_b) for r in
+           D.simhash_near_duplicates(docs, max_hamming=10, blocks=4).collect()}
+    assert (1, 2) in got  # identical docs: hamming 0
+    sh = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[4]
+
+
+def test_embedding_near_duplicates(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0), (3, [0.0, 1.0], 0),
+         (4, [1.0, 0.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {(r.id_a, r.id_b) for r in
+           D.embedding_near_duplicates(emb, threshold=0.95, block_col="label").collect()}
+    assert got == {(1, 2)}  # 3 dissimilar; 4 in another block

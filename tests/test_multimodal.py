@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_crawler_spark import codecs
+from my_crawler_spark.fixtures import make_pixels
+from my_crawler_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = []
+    for i in range(12):
+        fmt = ["png", "jpeg", "webp"][i % 3]
+        px = make_pixels(3, i, 20, 20)
+        rows.append((f"i{i}", codecs.encode_image(px, fmt)))
+    rows.append(("bad", b"garbage-not-an-image"))
+    return spark.createDataFrame(rows, "image_id string, bytes binary")
+
+
+def test_decode_stats(spark, images):
+    got = {r.image_id: r for r in MM.decode_stats(images).collect()}
+    assert got["bad"].decode_ok is False
+    oks = [r for k, r in got.items() if k != "bad"]
+    assert all(r.decode_ok and r.w == 20 and r.h == 20 for r in oks)
+    assert all(0 <= r.mean_luma <= 255 for r in oks)
+
+
+def test_resize_roundtrip(spark, images):
+    out = MM.resize_images(images.filter("image_id = 'i0'"), 10, 10).collect()[0]
+    px = codecs.decode_png(bytes(out.bytes))
+    assert px.shape == (10, 10, 3)
+
+
+def test_image_features_normalized(spark, images):
+    feats = MM.image_features(images.filter("image_id != 'bad'"), bins=8).collect()
+    for r in feats:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-5
+
+
+def test_video_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [("v1", MM.fake_media_payload("video", 3.0, 10, 1)),
+         ("a1", MM.fake_media_payload("audio", 3.0, 100, 2))],
+        "media_id string, bytes binary",
+    )
+    got = MM.sample_video_frames(media, target_fps=2.0).collect()
+    ids = {r.media_id for r in got}
+    assert ids == {"v1"}  # audio rows skipped
+    # 3s at 10 fps sampled at 2 fps -> every 5th frame -> 6 frames
+    assert len(got) == 6
+
+
+def test_real_codec_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM._parse_fake_media(b"\x00\x00\x01\xba real mpeg would go here")

@@ -1,0 +1,68 @@
+"""Similarity search: brute-force exactness, LSH/IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from my_crawler_spark.operators import simsearch as SS
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(DIM).astype(float).tolist()) for i in range(300)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    df, rows = emb
+    q = rows[0][1]
+    got = SS.brute_force_topk(df, [(0, q)], k=5).orderBy("rank").collect()
+    mat = np.array([r[1] for r in rows])
+    qv = np.array(q)
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    want = np.argsort(-cos)[:5].tolist()
+    assert [r.vec_id for r in got] == want
+    for r in got:
+        assert r.cos == pytest.approx(cos[r.vec_id], rel=1e-6)
+
+
+def test_lsh_recall(spark, emb):
+    df, rows = emb
+    queries = [(i, rows[i][1]) for i in range(5)]
+    idx = SS.lsh_index(df, dim=DIM, n_bits=4, n_tables=8)
+    got = SS.lsh_topk(idx, queries, dim=DIM, k=10, n_bits=4, n_tables=8).collect()
+    brute = SS.brute_force_topk(df, queries, k=10).collect()
+    by_q_lsh = {}
+    for r in got:
+        by_q_lsh.setdefault(r.query_id, set()).add(r.vec_id)
+    by_q_brute = {}
+    for r in brute:
+        by_q_brute.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(by_q_lsh.get(q, set()) & by_q_brute[q]) / 10 for q in by_q_brute
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # tunable-recall ANN
+    # the query vector itself is always found (hashes into its own bucket)
+    for q, _ in queries:
+        assert q in by_q_lsh[q]
+
+
+def test_ivf_recall(spark, emb):
+    df, rows = emb
+    queries = [(i, rows[i][1]) for i in range(3)]
+    assigned, cents = SS.ivf_index(df, n_lists=8)
+    got = SS.ivf_topk(assigned, cents, queries, k=10, n_probe=4).collect()
+    brute = SS.brute_force_topk(df, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    by_b = {}
+    for r in brute:
+        by_b.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(by_q.get(q, set()) & by_b[q]) / 10 for q in by_b]
+    assert sum(recalls) / len(recalls) >= 0.5

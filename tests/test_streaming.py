@@ -1,0 +1,91 @@
+"""Structured Streaming layer: request admission, stateful politeness,
+windowed metrics — run with availableNow triggers on file/memory sources."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_crawler_spark.streaming.stream_crawl import (
+    admit_request_stream,
+    metrics_window_stream,
+    politeness_token_stream,
+)
+
+
+def _run_available_now(q_writer, name):
+    q = q_writer.trigger(availableNow=True).format("memory").queryName(name).start()
+    q.awaitTermination(120)
+    return q
+
+
+def test_admit_request_stream(spark, tmp_path):
+    reqs = tmp_path / "reqs"
+    reqs.mkdir()
+    rows = [
+        {"request_id": 1, "url": "https://A.com/x?q=1#f", "max_pages": 5,
+         "max_depth": 2, "same_domain": True, "enqueued_at": "2026-01-01T00:00:00"},
+        {"request_id": 2, "url": "https://a.com/login", "max_pages": 5,
+         "max_depth": 2, "same_domain": True, "enqueued_at": "2026-01-01T00:00:01"},
+        {"request_id": 3, "url": "ftp://nope/x", "max_pages": 5,
+         "max_depth": 2, "same_domain": True, "enqueued_at": "2026-01-01T00:00:02"},
+    ]
+    (reqs / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = admit_request_stream(spark, str(reqs))
+    assert stream.isStreaming
+    _run_available_now(stream.writeStream, "admitted")
+    got = spark.sql("SELECT * FROM admitted").collect()
+    assert len(got) == 1  # trap and non-http rejected (crawl_loop.rs:61-69)
+    assert got[0].url == "https://a.com/x"
+    assert got[0].host == "a.com"
+
+
+def test_politeness_token_stream(spark, tmp_path):
+    src = tmp_path / "urls"
+    src.mkdir()
+    rows = [
+        {"host": "a.com", "url": f"https://a.com/{i}", "event_ts": float(i)}
+        for i in range(6)
+    ] + [{"host": "b.com", "url": "https://b.com/0", "event_ts": 0.0}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    urls = spark.readStream.schema("host string, url string, event_ts double").json(str(src))
+    out = politeness_token_stream(urls, interval_s=2.0, burst=3)
+    _run_available_now(out.writeStream, "admitted_urls")
+    got = spark.sql("SELECT * FROM admitted_urls").collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r.url)
+    # bucket: burst 3 + elapsed 5s / 2s = 2 refill -> at most 3 admitted
+    # in the first batch for a.com (tokens capped at burst), rest deferred
+    assert len(by_host["a.com"]) <= 3
+    assert by_host["a.com"] == [f"https://a.com/{i}" for i in range(len(by_host["a.com"]))]
+    assert by_host["b.com"] == ["https://b.com/0"]
+    deferred = {r.deferred_in_state for r in got if r.host == "a.com"}
+    assert deferred == {6 - len(by_host["a.com"])}
+
+
+def test_metrics_window_stream(spark, tmp_path):
+    src = tmp_path / "visits"
+    src.mkdir()
+    rows = [
+        {"ts": "2026-01-01T00:00:05", "outcome": "crawled"},
+        {"ts": "2026-01-01T00:00:20", "outcome": "crawled"},
+        {"ts": "2026-01-01T00:01:10", "outcome": "failed"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    visits = spark.readStream.schema("ts timestamp, outcome string").json(str(src))
+    out = metrics_window_stream(visits)
+    q = (
+        out.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("live_metrics")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r.window_start), r.outcome): r.n for r in spark.sql("SELECT * FROM live_metrics").collect()}
+    assert got[("2026-01-01 00:00:00", "crawled")] == 2
+    assert got[("2026-01-01 00:01:00", "failed")] == 1

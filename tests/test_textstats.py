@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_crawler_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox is that it for a dog in the fog", "en"),
+        (2, "der schnelle braune fuchs und die katze ist auf den tisch", "de"),
+        (3, "le renard brun et les chiens dans la maison est une chose", "fr"),
+        (4, "el zorro y los perros en la casa que es de un gato", "es"),
+        (5, "敏捷的棕色狐狸跳过懒狗数据表格引擎流处理分析", "zh"),
+        (6, "zzz qqq xxx", "und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_lang_id_accuracy(spark, docs):
+    got = docs.select("lang", TS.lang_id_expr(F.col("text")).alias("g")).collect()
+    for r in got:
+        assert r.g == r.lang, r
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, 42 times!",)], ["text"])
+    r = df.select(
+        TS.ws_token_count(F.col("text")).alias("ws"),
+        TS.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r.ws == 4
+    # hello | world | , | 42 | times | !
+    assert r.bpe == 6
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r.q for r in docs.select(TS.quality_score_expr(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # long clean english text beats garbage
+    df = spark.createDataFrame(
+        [("the data engine is that it for " * 20,), ("!!!###$$$%%%^^^&&&" * 10,)],
+        ["text"],
+    )
+    a, b = [r.q for r in df.select(TS.quality_score_expr(F.col("text")).alias("q")).collect()]
+    assert a > b
+
+
+def test_fingerprint_deterministic(spark, docs):
+    f1 = {r.doc_id: r.fingerprint for r in TS.doc_fingerprint(docs).collect()}
+    f2 = {r.doc_id: r.fingerprint for r in TS.doc_fingerprint(docs).collect()}
+    assert f1 == f2
+    assert len(set(f1.values())) == len(f1)  # distinct docs -> distinct fps
