@@ -172,3 +172,19 @@ def extract_caption_page(url: str, caption: str) -> dict:
 def embed_text(title: str, heading: str | None, content: str) -> str:
     """e5 passage template (qdrant.rs:90-97)."""
     return f"passage: {title}\n{heading or ''}\n{content}"
+
+
+def needs_browser(html: str) -> bool:
+    """SPA heuristic (crawl_loop.rs:274-284): empty page, or an app-root
+    marker without any <p>/<article>. Out of the synthetic-fetch path (no JS
+    rendering here) but part of the reference's decision surface."""
+    if not html.strip():
+        return True
+    lower = html.lower()
+    has_app_root = (
+        'id="app"' in lower
+        or 'id="root"' in lower
+        or "__next_data__" in lower
+        or "data-reactroot" in lower
+    )
+    return has_app_root and "<p" not in lower and "<article" not in lower

@@ -67,18 +67,38 @@ def extract_schema(carry: StructType) -> StructType:
     )
 
 
-def extract_pages(fetched: DataFrame, images: DataFrame) -> DataFrame:
+def extract_pages(
+    fetched: DataFrame, images: DataFrame, skew_salt: int | None = None
+) -> DataFrame:
     """fetched(request_id, seq, final_url, image_id, ...) ⋈ images -> one row
     per page with decode/phash verdicts and the packed chunks array.
 
     Join note: images is the 100 TB table — the join key is its primary key
     so this is a shuffle-hash join pruned to (bytes, caption, phash, fmt);
     column pruning keeps the scan narrow (verified via .explain in tests).
+
+    Skew (north_rule): a hot image_id (a page fetched by many frontier rows)
+    skews the shuffle. ``skew_salt=S`` applies the explicit salted
+    replicate-join — the images side is replicated S-fold with a salt
+    column, the fetched side salts by ``xxhash64(seq) % S`` — spreading one
+    hot key over S tasks. AQE's skew-join split (enabled in session.py) is
+    the automatic backstop; the explicit form is for planned hot keys.
+    Salting happens ONLY in this fan-out stage, never in token accounting
+    (politeness counts stay per unsalted host).
     """
     img = images.select(
         "image_id", "bytes", "caption", "phash",
     )
-    joined = fetched.join(img, "image_id", "left")
+    if skew_salt and skew_salt > 1:
+        img = img.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(skew_salt)]))
+        )
+        fetched = fetched.withColumn(
+            "__salt", F.pmod(F.xxhash64("seq"), F.lit(skew_salt)).cast("int")
+        )
+        joined = fetched.join(img, ["image_id", "__salt"], "left").drop("__salt")
+    else:
+        joined = fetched.join(img, "image_id", "left")
     carry_cols = [
         f.name for f in joined.schema.fields if f.name not in ("bytes", "caption", "phash")
     ]
@@ -120,15 +140,19 @@ def extract_pages(fetched: DataFrame, images: DataFrame) -> DataFrame:
 
 @F.pandas_udf(ArrayType(FloatType()))
 def deterministic_embedding(text: pd.Series) -> pd.Series:
-    """S10 stand-in: sha256-seeded unit-normalized gaussian, EMBED_DIM dims.
-
-    Deterministic (same text -> same vector) so the DuckDB oracle and
-    resume tests stay exact. Batch-vectorized; Arrow transfers the result.
+    """S10 stand-in for the TEI e5 encoder: sha256-expanded, unit-normalized
+    EMBED_DIM vector. Deterministic (same text -> same vector) so the oracle
+    and resume tests stay exact; cheap (3 digests/row, then pure numpy) —
+    the per-row RNG variant cost ~100us/row and serialized the chunk sink.
     """
+    n_rep = (EMBED_DIM + 31) // 32
     out = []
     for t in text.fillna(""):
-        seed = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
-        v = np.random.default_rng(seed).standard_normal(EMBED_DIM).astype(np.float32)
+        d = hashlib.sha256(t.encode()).digest()
+        buf = b"".join(
+            hashlib.sha256(d + bytes([i])).digest() for i in range(n_rep)
+        )[:EMBED_DIM]
+        v = np.frombuffer(buf, dtype=np.uint8).astype(np.float32) - 127.5
         v /= np.linalg.norm(v) or 1.0
         out.append(v)
     return pd.Series(out)

@@ -80,7 +80,11 @@ def _classify(hop: DataFrame) -> DataFrame:
     )
 
 
-def fetch_join(frontier: DataFrame, pages: DataFrame, redirects: DataFrame) -> DataFrame:
+def fetch_join(
+    frontier: DataFrame, pages: DataFrame, redirects: DataFrame,
+    has_redirects: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """frontier(request_id, seq, url, ...) -> + fetch result columns.
 
     Scale notes: the first join is the big one — pages should be bucketed
@@ -102,9 +106,41 @@ def fetch_join(frontier: DataFrame, pages: DataFrame, redirects: DataFrame) -> D
     )
 
     work = frontier.withColumn("cur_url", F.col("url"))
+    if not has_redirects:
+        # no redirect edges at all: one classify pass, 3xx -> Redirect error
+        joined = _classify(work.join(pages_cols, "cur_url", "left")).withColumn(
+            "__was_redirect", F.col("fetch_kind") == "redirect"
+        )
+        return (
+            joined.withColumn(
+                "fetch_kind",
+                F.when(F.col("__was_redirect"), F.lit("failed")).otherwise(
+                    F.col("fetch_kind")
+                ),
+            )
+            .withColumn(
+                "fetch_error",
+                F.when(F.col("__was_redirect"), F.lit("redirect")).otherwise(
+                    F.col("fetch_error")
+                ),
+            )
+            .drop("__was_redirect")
+            .withColumn(
+                "final_url",
+                F.when(F.col("fetch_kind") == "ok", F.col("cur_url")),
+            )
+            .withColumn(
+                "blocked_url",
+                F.when(F.col("fetch_kind") == "blocked", F.col("cur_url")),
+            )
+            .drop("cur_url", "status", "content_type", "flaky_fail_times", "body_len")
+        )
     resolved_parts: list[DataFrame] = []
-    cached: list[DataFrame] = []
+    cached: list[DataFrame] = [] if cache_registry is None else cache_registry
     for hop in range(MAX_REDIRECTS + 1):
+        # hop caches keep the per-hop isEmpty() incremental; the caller
+        # unpersists them (via cache_registry) once the round materializes —
+        # otherwise they leak across rounds
         joined = _classify(work.join(pages_cols, "cur_url", "left")).cache()
         cached.append(joined)
         terminal = joined.filter(F.col("fetch_kind") != "redirect")

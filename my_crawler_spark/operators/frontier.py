@@ -74,11 +74,70 @@ FOLD_OUT_SCHEMA = StructType(
 )
 
 
+def _fold_vectorized(pdf: pd.DataFrame) -> pd.DataFrame | None:
+    """Fast path: when a group has no sequential hazards — no 403s (origin
+    propagation), no budget crossing, no redirect final_url colliding with a
+    later frontier url — every gate is row-local and vectorizes. Returns None
+    when a hazard exists (caller falls back to the exact sequential loop).
+    """
+    import numpy as np
+
+    max_pages = int(pdf["max_pages"].iloc[0])
+    max_depth = int(pdf["max_depth"].iloc[0])
+    crawled0 = int(pdf["crawled_so_far"].iloc[0])
+
+    fetch_kind = pdf["fetch_kind"].fillna("")
+    ok = (fetch_kind == "ok").to_numpy()
+    if (fetch_kind == "blocked").any():
+        return None
+    finals = pdf["final_url"].where(ok & (pdf["final_url"] != pdf["url"]))
+    redirected = set(finals.dropna())
+    if redirected and pdf["url"].isin(redirected).any():
+        return None
+
+    depth_over = (pdf["depth"] > max_depth).to_numpy()
+    dup = (pdf["pre_visited"] | pdf["pre_blocked"]).to_numpy()
+    robots_ok = pdf["robots_allowed_flag"].fillna(True).to_numpy(bool)
+    trap = pdf["final_is_trap"].fillna(False).to_numpy(bool)
+    would_crawl = ~depth_over & ~dup & robots_ok & ok & ~trap
+    if crawled0 + int(would_crawl.sum()) >= max_pages:
+        return None  # budget crossing -> sequential
+
+    marked = ~depth_over & ~dup  # passed gates 1-3 -> visited
+    outcome = np.where(
+        depth_over, "depth_skip",
+        np.where(dup, "dup_skip",
+        np.where(~robots_ok, "robots",
+        np.where(~ok, "failed",
+        np.where(trap, "final_trap", "crawled")))),
+    )
+    final_mark = marked & ok
+    out = pd.DataFrame(
+        {
+            "request_id": pdf["request_id"].to_numpy(),
+            "seq": pdf["seq"].to_numpy(),
+            "url": pdf["url"].to_numpy(),
+            "depth": pdf["depth"].to_numpy(),
+            "outcome": outcome,
+            "final_url": pdf["final_url"].where(final_mark),
+            "visited_mark": marked,
+            "final_mark": final_mark,
+            "new_blocked_origin": None,
+            "crawled_flag": would_crawl,
+            "indexed_flag": would_crawl & pdf["has_chunks"].fillna(False).to_numpy(bool),
+        }
+    )
+    return out
+
+
 def gate_fold(control: DataFrame) -> DataFrame:
     """Apply the sequential gate semantics per request over control columns."""
 
     def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq")
+        fast = _fold_vectorized(pdf)
+        if fast is not None:
+            return fast
         max_pages = int(pdf["max_pages"].iloc[0])
         max_depth = int(pdf["max_depth"].iloc[0])
         crawled = int(pdf["crawled_so_far"].iloc[0])
@@ -174,6 +233,25 @@ def admit_links(
         (~F.col("same_domain")) | (url_origin(F.col("url")) == F.col("seed_origin"))
     ).drop("seed_origin", "same_domain")
 
+    # ORDER: prune with the cheap, unconditional drops first —
+    # (1) bloom-prefiltered anti-join vs url_seen AS OF ROUND START (links to
+    #     previously-visited urls are dropped at any parent seq; this round's
+    #     visits must NOT be in this set — they are handled seq-sensitively
+    #     by the a(t)/M(t) joins below, because a link whose parent popped
+    #     BEFORE the target's final_url visit is legitimately enqueued,
+    #     crawl_loop.rs:258-272),
+    # (2) still-queued deferred rows,
+    # then the seq-inequality joins on the tiny surviving remainder.
+    from .bloom import anti_join_with_bloom
+
+    links = anti_join_with_bloom(
+        spark, links, url_seen.select("request_id", "url"),
+        ["request_id", "url"], bloom, "url",
+    )
+    links = links.join(
+        deferred_frontier.select("request_id", "url"), ["request_id", "url"], "left_anti"
+    )
+
     # --- time-sensitive queued/visited checks (see module docstring) -------
     # a(t): the admitted row with this url, if any (urls unique per request)
     admitted = fold_out.select(
@@ -213,17 +291,6 @@ def admit_links(
         & (F.col("__m_seq").isNull() | (F.col("parent_seq") < F.col("__m_seq")))
     ).drop("__a_seq", "__a_visited", "__m_seq")
 
-    # still-queued deferred rows block their url (queued-set membership)
-    links = links.join(
-        deferred_frontier.select("request_id", "url"), ["request_id", "url"], "left_anti"
-    )
-    # authoritative seen check (bloom-pruned)
-    from .bloom import anti_join_with_bloom
-
-    links = anti_join_with_bloom(
-        spark, links, url_seen.select("request_id", "url"),
-        ["request_id", "url"], bloom, "url",
-    )
     # first enqueuer wins (crawl_loop.rs:269 queued.insert)
     w = Window.partitionBy("request_id", "url").orderBy("parent_seq", "link_idx")
     return (

@@ -288,3 +288,47 @@ def plagiarism_check(
     """R2 (main.rs:254-297): dense top-5; matches with score >= threshold."""
     scored = dense_scores(embeddings, query_vec, id_col, vec_col)
     return topk(scored, "cos", k, id_col).filter(F.col("cos") >= threshold)
+
+
+# ------------------------------------------------------- request-side helpers
+MAX_SEARCH_LIMIT = 50  # api/src/main.rs:28
+MAX_SEARCH_OFFSET = 200  # api/src/main.rs:29
+SEARCH_PREFETCH_MULTIPLIER = 4  # api/src/main.rs:30
+
+
+def prepare_search_query(query: str, limit: int, offset: int) -> dict | None:
+    """F11 (main.rs:125-140): collapse whitespace, reject empty, clamp
+    limit/offset, derive candidate_limit = (limit+offset) * 4."""
+    text = " ".join(query.split())
+    if not text:
+        return None
+    limit = min(limit, MAX_SEARCH_LIMIT)
+    offset = min(offset, MAX_SEARCH_OFFSET)
+    return {
+        "query": text,
+        "limit": limit,
+        "offset": offset,
+        "candidate_limit": (limit + offset) * SEARCH_PREFETCH_MULTIPLIER,
+    }
+
+
+def get_page(chunks: DataFrame, source_url: str, limit: int = 10_000) -> DataFrame:
+    """R4 (main.rs:323-363): all chunks of a page in chunk_index order."""
+    return (
+        chunks.filter(F.col("source_url") == source_url)
+        .orderBy("chunk_index")
+        .limit(limit)
+    )
+
+
+def is_searchable_page(url: Column) -> Column:
+    """F10 (ranking.rs:149-153): drop file-like URLs from results
+    (unparseable urls are kept — coalesce covers the null path)."""
+    from ..functions.url import looks_like_file_url
+
+    return F.coalesce(~looks_like_file_url(url), F.lit(True))
+
+
+def exact_count(df: DataFrame) -> int:
+    """R3 (main.rs:303-316): exact point count."""
+    return df.count()

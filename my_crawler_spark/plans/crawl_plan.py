@@ -143,14 +143,17 @@ class CrawlRunner:
         use_bloom: bool = True,
         bloom_min_rows: int = 5000,
         host_buckets: int = 32,
+        skew_salt: int | None = None,
     ):
         self.bloom_min_rows = bloom_min_rows
+        self.skew_salt = skew_salt
         self.spark = spark
         self.catalog = Catalog(spark, workdir)
         # Partition the big web tables by url so every round's fetch join is
         # co-located (the 100 TB version buckets these once at ingest).
         self.pages = pages.repartition(host_buckets, "url").cache()
         self.redirects = redirects
+        self.has_redirects = not redirects.isEmpty()
         self.images = images
         self.budgets = budgets
         self.use_bloom = use_bloom
@@ -352,9 +355,14 @@ class CrawlRunner:
         to_fetch = checked.filter("robots_allowed_flag").select(
             "request_id", "seq", "url", "depth"
         )
-        fetched = fetch_join(to_fetch, self.pages, self.redirects).cache()
+        hop_caches: list = []
+        fetched = fetch_join(
+            to_fetch, self.pages, self.redirects, has_redirects=self.has_redirects,
+            cache_registry=hop_caches,
+        ).cache()
         extracted = extract_pages(
-            fetched.filter(F.col("fetch_kind") == "ok"), self.images
+            fetched.filter(F.col("fetch_kind") == "ok"), self.images,
+            skew_salt=self.skew_salt,
         ).cache()
 
         # assemble control rows for the fold
@@ -379,9 +387,15 @@ class CrawlRunner:
         _mark("plan_assembled")
         fold_out = gate_fold(control.select(*FOLD_IN_COLS)).cache()
         fold_out.count()
+        for hc in hop_caches:  # fetched is materialized; free the hop caches
+            hc.unpersist()
         _mark("fold_executed")
 
-        # ---- commits ----------------------------------------------------
+        # ---- commits (independent tables -> concurrent driver threads;
+        # Spark schedules the jobs in parallel, overlapping their fixed
+        # per-job latencies — a big serial-fraction win on small rounds) ---
+        import concurrent.futures as _fut
+
         marks = (
             fold_out.filter("visited_mark")
             .select("request_id", "url")
@@ -393,27 +407,18 @@ class CrawlRunner:
             .distinct()
             .join(seen, ["request_id", "url"], "left_anti")
         )
-        self._commit(round_no, "url_seen", self.t_seen, marks)
-        _mark("commit_url_seen")
-
         new_blocked = (
             fold_out.filter(F.col("new_blocked_origin").isNotNull())
             .select("request_id", F.col("new_blocked_origin").alias("origin"))
             .distinct()
             .join(blocked, ["request_id", "origin"], "left_anti")
         )
-        self._commit(round_no, "blocked_origins", self.t_blocked, new_blocked)
-        _mark("commit_blocked")
-
         visits = fold_out.filter(
             F.col("outcome").isin("robots", "blocked", "failed", "final_trap", "crawled")
         ).select(
             "request_id", "seq", "url", "depth", "outcome", "final_url",
             F.lit(round_no).alias("round"),
         )
-        self._commit(round_no, "visit_log", self.t_visits, visits)
-        _mark("commit_visits")
-
         per_req = (
             fold_out.groupBy("request_id")
             .agg(
@@ -433,33 +438,48 @@ class CrawlRunner:
             .withColumn("deferred", F.coalesce("deferred", F.lit(0)))
             .select(*[f.name for f in METRICS_SCHEMA])
         )
-        self._commit(round_no, "metrics", self.t_metrics, metrics)
-        _mark("commit_metrics")
-
         crawled_rows = fold_out.filter(F.col("outcome") == "crawled")
-        chunks = explode_chunks(
-            extracted.join(
-                crawled_rows.select("request_id", "seq"), ["request_id", "seq"]
-            )
-        ).select(*[f.name for f in CHUNKS_SCHEMA])
-        snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
-        self._lineage(round_no, "chunks", snap, chunks.count())
-        _mark("commit_chunks")
+
+        def job_chunks():
+            chunks = explode_chunks(
+                extracted.join(
+                    crawled_rows.select("request_id", "seq"), ["request_id", "seq"]
+                )
+            ).select(*[f.name for f in CHUNKS_SCHEMA]).persist()
+            try:
+                n = chunks.count()
+                snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
+            finally:
+                chunks.unpersist()
+            self._lineage(round_no, "chunks", snap, n)
+
+        with _fut.ThreadPoolExecutor(max_workers=5) as pool:
+            jobs = [
+                pool.submit(self._commit, round_no, "url_seen", self.t_seen, marks),
+                pool.submit(self._commit, round_no, "blocked_origins", self.t_blocked, new_blocked),
+                pool.submit(self._commit, round_no, "visit_log", self.t_visits, visits),
+                pool.submit(self._commit, round_no, "metrics", self.t_metrics, metrics),
+                pool.submit(job_chunks),
+            ]
+            for j in jobs:
+                j.result()
+        _mark("commits_parallel")
 
         # ---- next frontier ----------------------------------------------
-        seen_now = self.t_seen.read()
+        # link admission must see url_seen AS OF ROUND START — this round's
+        # marks are applied seq-sensitively inside admit_links (a(t)/M(t))
         bloom = None
         if self.use_bloom:
-            n = seen_now.count()
+            n = seen.count()
             # below the threshold a plain anti-join beats two extra jobs
             if n >= self.bloom_min_rows:
-                bloom = bloom_mod.build_bloom(seen_now, "url", expected_n=n)
+                bloom = bloom_mod.build_bloom(seen, "url", expected_n=n)
         _mark("bloom")
         link_parents = crawled_rows.select("request_id", "seq", "depth").join(
             fetch_ctl.select("request_id", "seq", "outlinks"), ["request_id", "seq"]
         )
         new_links = admit_links(
-            link_parents, fold_out, deferred, seen_now, requests, spark, bloom
+            link_parents, fold_out, deferred, seen, requests, spark, bloom
         )
         seq_base = state.select("request_id", "max_seq")
         # cache: reused for the frontier write AND the max_seq state update
@@ -510,17 +530,27 @@ class CrawlRunner:
 
     # ------------------------------------------------------------------ misc
     def _commit(self, round_no, name, table, df, mode="append"):
-        n = df.count()
-        snap = table.commit(df, mode=mode)
+        df = df.persist()  # count + write = two actions; compute once
+        try:
+            n = df.count()
+            snap = table.commit(df, mode=mode)
+        finally:
+            df.unpersist()
         self._lineage(round_no, name, snap, n)
 
     def _lineage(self, round_no, name, snap, n):
-        # buffered; one lineage commit per round (see _flush_lineage)
-        if not hasattr(self, "_lineage_buf"):
-            self._lineage_buf = []
-        self._lineage_buf.append(
-            (round_no, name, snap, int(n), self.spark.sparkContext.defaultParallelism)
-        )
+        # buffered; one lineage commit per round (see _flush_lineage);
+        # called from commit threads -> guard with a lock
+        import threading
+
+        if not hasattr(self, "_lineage_lock"):
+            self._lineage_lock = threading.Lock()
+        with self._lineage_lock:
+            if not hasattr(self, "_lineage_buf"):
+                self._lineage_buf = []
+            self._lineage_buf.append(
+                (round_no, name, snap, int(n), self.spark.sparkContext.defaultParallelism)
+            )
 
     def _flush_lineage(self):
         buf = getattr(self, "_lineage_buf", [])
