@@ -207,9 +207,11 @@ def q_bfs_frontier(spark, sf_dir) -> DataFrame:
 
 SQL_BFS_FRONTIER = f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    -- UNION (set semantics) is essential: UNION ALL enumerates *paths*,
+    -- which explodes combinatorially on the dense sf0.01 graph
     bfs(node, depth) AS (
         SELECT 'n0', 0
-        UNION ALL
+        UNION
         SELECT e.dst, b.depth + 1
         FROM bfs b JOIN edges e ON e.src = b.node
         WHERE b.depth < 6
@@ -961,3 +963,216 @@ ORACLES = {
     "dedup_diversify_paginate": SQL_DEDUP_DIVERSIFY_PAGINATE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
 }
+
+
+# --------------------------------------------------------------------------
+# R2 plagiarism + the full R1->R9 hybrid-search pipeline (the richest
+# DuckDB-oracle surface, SURVEY §3.2)
+# --------------------------------------------------------------------------
+def q_plagiarism(spark, sf_dir) -> DataFrame:
+    """R2 (main.rs:254-297): dense top-5 for query vec 0; matches >= 0.2
+    (fixture vectors are near-orthogonal, so the reference's 0.6 default
+    would always return empty — threshold scaled to the data)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from .operators.search import cosine
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.filter(F.col("vec_id") != 0).crossJoin(q).select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos")
+    )
+    w = Window.orderBy(F.desc("cos"), F.col("vec_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    return top.filter(F.col("cos") >= 0.2).select(
+        "vec_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_PLAGIARISM = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    top AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    SELECT vec_id, cos, rank FROM top WHERE rank <= 5 AND cos >= 0.2
+"""
+
+
+def q_hybrid_search_e2e(spark, sf_dir) -> DataFrame:
+    """R1->R9 end-to-end: dense + two BM25 lists fused with weighted RRF
+    [2,2,1] (main.rs:237-239), ranking boosts (ranking.rs:184-212), URL
+    dedup + host diversification + pagination (main.rs:142-206)."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 40
+
+    # dense candidates: query vector = vec 0; docs keyed by vec_id == doc_id
+    from .operators.search import cosine
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense = (
+        emb.crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
+        )
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("s"), F.col("doc_id"))))
+        .filter(F.col("rank") <= k)
+    )
+    # "title" = first 60 chars, "body" = full text (E9's two BM25 docs)
+    titles = d.select("doc_id", F.substring("text", 1, 60).alias("text"))
+    bm_t = S.bm25_scores(titles, _QUERY_TEXT).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc(F.round("bm25", 6)), F.col("doc_id")))
+    ).filter(F.col("rank") <= k)
+    bm_b = S.bm25_scores(d, _QUERY_TEXT).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc(F.round("bm25", 6)), F.col("doc_id")))
+    ).filter(F.col("rank") <= k)
+    fused = S.rrf_fuse([(dense, 2.0), (bm_t, 2.0), (bm_b, 1.0)], "doc_id")
+    ranked = fused.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc(F.round("rrf_score", 9)), F.col("doc_id"))),
+    ).filter(F.col("rank") <= k)
+
+    enriched = ranked.join(d, "doc_id").select(
+        "doc_id",
+        F.col("rrf_score").alias("score"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/")),
+        ).otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+                     (F.col("doc_id") % 50).cast("string"))
+        ).alias("source_url"),
+        F.substring("text", 1, 60).alias("page_title"),
+    )
+    boosted = S.apply_ranking_boosts(enriched, _QUERY_TEXT).withColumn(
+        "score", F.round("score", 6)
+    )
+    reranked = boosted.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+    )
+    final = S.paginate(S.unique_pages_diversified(reranked), limit=10, offset=0)
+    return final.select(
+        F.col("out_rank").cast("long").alias("out_rank"), "doc_id", "source_url", "score"
+    )
+
+
+SQL_HYBRID_SEARCH_E2E = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(e.embedding, q.qv), 6) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q) WHERE rank <= 40),
+    -- BM25 over titles (first 60 chars) and bodies, same formula as bm25_topk
+    tdocs AS (SELECT doc_id, substr(text, 1, 60) AS text FROM documents),
+    ttoks AS (SELECT doc_id AS id, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM tdocs),
+    tdl AS (SELECT id, count(*) AS dl FROM ttoks GROUP BY id),
+    tstats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM tdl) AS avgdl),
+    ttf AS (SELECT id, term, count(*) AS tf FROM ttoks
+            WHERE term IN ('data','table','scan','engine') GROUP BY id, term),
+    tdf AS (SELECT term, count(DISTINCT id) AS df FROM ttf GROUP BY term),
+    tw AS (SELECT ttf.id,
+             ln((tstats.n - tdf.df + 0.5) / (tdf.df + 0.5) + 1.0)
+             * (ttf.tf * 2.2) / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * tdl.dl / tstats.avgdl)) AS wt
+           FROM ttf JOIN tdf USING (term) JOIN tdl USING (id) CROSS JOIN tstats),
+    bm_t AS (SELECT id AS doc_id, rank FROM (
+        SELECT id, row_number() OVER (ORDER BY round(sum(wt), 6) DESC, id) AS rank
+        FROM tw GROUP BY id) WHERE rank <= 40),
+    btoks AS (SELECT doc_id AS id, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents),
+    bdl AS (SELECT id, count(*) AS dl FROM btoks GROUP BY id),
+    bstats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM bdl) AS avgdl),
+    btf AS (SELECT id, term, count(*) AS tf FROM btoks
+            WHERE term IN ('data','table','scan','engine') GROUP BY id, term),
+    bdf AS (SELECT term, count(DISTINCT id) AS df FROM btf GROUP BY term),
+    bw AS (SELECT btf.id,
+             ln((bstats.n - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+             * (btf.tf * 2.2) / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * bdl.dl / bstats.avgdl)) AS wt
+           FROM btf JOIN bdf USING (term) JOIN bdl USING (id) CROSS JOIN bstats),
+    bm_b AS (SELECT id AS doc_id, rank FROM (
+        SELECT id, row_number() OVER (ORDER BY round(sum(wt), 6) DESC, id) AS rank
+        FROM bw GROUP BY id) WHERE rank <= 40),
+    fused AS (
+      SELECT doc_id, sum(contrib) AS rrf_score FROM (
+        SELECT doc_id, 2.0 / (60 + rank) AS contrib FROM dense
+        UNION ALL SELECT doc_id, 2.0 / (60 + rank) FROM bm_t
+        UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM bm_b)
+      GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, rrf_score,
+             row_number() OVER (ORDER BY round(rrf_score, 9) DESC, doc_id) AS rank
+      FROM fused),
+    enriched AS (
+      SELECT r.doc_id, r.rrf_score AS score0,
+             CASE WHEN r.doc_id % 10 = 0
+                  THEN 'https://' || d.source || '.example.com/'
+                  ELSE 'https://' || d.source || '.example.com/d/' || CAST(r.doc_id % 50 AS VARCHAR)
+             END AS source_url,
+             substr(d.text, 1, 60) AS title
+      FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 40),
+    feats AS (
+      SELECT doc_id, score0, source_url, title,
+             len(list_filter(string_split(
+                 regexp_extract(source_url, '^[a-z]+://[^/]*(/.*)?$', 1), '/'),
+                 x -> x <> '')) AS depth,
+             list_filter(string_split_regex(lower(title), '[^a-zA-Z0-9]+'), x -> x <> '')
+             || list_filter(string_split_regex(lower(source_url), '[^a-zA-Z0-9]+'), x -> x <> '') AS tw,
+             list_filter(string_split_regex(lower(
+                 regexp_extract(source_url, '^[a-z]+://([^/:?#]*)', 1)), '[^a-zA-Z0-9]+'), x -> x <> '')
+             || list_filter(string_split_regex(lower(title), '[^a-zA-Z0-9]+'), x -> x <> '') AS hw
+      FROM enriched),
+    boosted AS (
+      SELECT doc_id, source_url,
+             round(score0
+               + 0.5 / greatest(length(source_url), 1)
+               + (CASE WHEN depth = 0 THEN 1.25 ELSE 0.0 END)
+               + (CASE WHEN depth = 0
+                        AND list_contains(hw, 'data') AND list_contains(hw, 'table')
+                        AND list_contains(hw, 'scan') AND list_contains(hw, 'engine')
+                       THEN 2.0 ELSE 0.0 END)
+               - (CASE WHEN depth > 0 THEN depth * 0.12 ELSE 0.0 END)
+               + 3.0 * ((CASE WHEN list_contains(tw, 'data') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(tw, 'table') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(tw, 'scan') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(tw, 'engine') THEN 1 ELSE 0 END)) / 4.0
+             , 6) AS score
+      FROM feats),
+    reranked AS (
+      SELECT doc_id, source_url, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM boosted),
+    uniq AS (
+      SELECT doc_id, source_url, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY source_url ORDER BY rank) AS rn
+        FROM reranked) WHERE rn = 1),
+    hosts AS (
+      SELECT *, coalesce(lower(regexp_extract(source_url, '^[a-z]+://([^/:?#]*)', 1)), source_url) AS host
+      FROM uniq),
+    flagged AS (
+      SELECT *, row_number() OVER (PARTITION BY host ORDER BY rank) AS host_rn FROM hosts),
+    pos AS (
+      SELECT *, CASE WHEN host_rn = 1 THEN
+               row_number() OVER (ORDER BY CASE WHEN host_rn = 1 THEN rank END ASC NULLS LAST)
+             END AS diverse_pos
+      FROM flagged),
+    ordered AS (
+      SELECT doc_id, source_url, score,
+             row_number() OVER (ORDER BY
+               CASE WHEN diverse_pos IS NOT NULL AND diverse_pos <= 5 THEN 0 ELSE 1 END,
+               rank) AS out_rank
+      FROM pos)
+    SELECT out_rank, doc_id, source_url, score FROM ordered
+    WHERE out_rank > 0 AND out_rank <= 10
+"""
+
+QUERIES["plagiarism"] = q_plagiarism
+ORACLES["plagiarism"] = SQL_PLAGIARISM
+QUERIES["hybrid_search_e2e"] = q_hybrid_search_e2e
+ORACLES["hybrid_search_e2e"] = SQL_HYBRID_SEARCH_E2E

@@ -453,7 +453,37 @@ class CrawlRunner:
                 chunks.unpersist()
             self._lineage(round_no, "chunks", snap, n)
 
-        with _fut.ThreadPoolExecutor(max_workers=5) as pool:
+        # the link/frontier pipeline needs only fold_out + round-start seen,
+        # so it overlaps with the table commits in the same pool
+        def job_frontier():
+            bloom = None
+            if self.use_bloom:
+                n = seen.count()
+                # below the threshold a plain anti-join beats two extra jobs
+                if n >= self.bloom_min_rows:
+                    bloom = bloom_mod.build_bloom(seen, "url", expected_n=n)
+            link_parents = crawled_rows.select("request_id", "seq", "depth").join(
+                fetch_ctl.select("request_id", "seq", "outlinks"), ["request_id", "seq"]
+            )
+            new_links = admit_links(
+                link_parents, fold_out, deferred, seen, requests, spark, bloom
+            )
+            seq_base = state.select("request_id", "max_seq")
+            # cached: reused for the frontier write AND the max_seq update
+            nfr = (
+                assign_seqs(new_links, seq_base)
+                .select(*[f.name for f in FRONTIER_SCHEMA])
+                .cache()
+            )
+            self._commit(
+                round_no, "frontier", self.t_frontier,
+                deferred.unionByName(nfr), mode="overwrite",
+            )
+            return nfr
+
+        overlap_frontier = os.environ.get("SPARK_GRAFT_OVERLAP_FRONTIER", "1") == "1"
+        with _fut.ThreadPoolExecutor(max_workers=6) as pool:
+            fut_frontier = pool.submit(job_frontier) if overlap_frontier else None
             jobs = [
                 pool.submit(self._commit, round_no, "url_seen", self.t_seen, marks),
                 pool.submit(self._commit, round_no, "blocked_origins", self.t_blocked, new_blocked),
@@ -463,34 +493,10 @@ class CrawlRunner:
             ]
             for j in jobs:
                 j.result()
-        _mark("commits_parallel")
-
-        # ---- next frontier ----------------------------------------------
-        # link admission must see url_seen AS OF ROUND START — this round's
-        # marks are applied seq-sensitively inside admit_links (a(t)/M(t))
-        bloom = None
-        if self.use_bloom:
-            n = seen.count()
-            # below the threshold a plain anti-join beats two extra jobs
-            if n >= self.bloom_min_rows:
-                bloom = bloom_mod.build_bloom(seen, "url", expected_n=n)
-        _mark("bloom")
-        link_parents = crawled_rows.select("request_id", "seq", "depth").join(
-            fetch_ctl.select("request_id", "seq", "outlinks"), ["request_id", "seq"]
-        )
-        new_links = admit_links(
-            link_parents, fold_out, deferred, seen, requests, spark, bloom
-        )
-        seq_base = state.select("request_id", "max_seq")
-        # cache: reused for the frontier write AND the max_seq state update
-        new_frontier_rows = (
-            assign_seqs(new_links, seq_base)
-            .select(*[f.name for f in FRONTIER_SCHEMA])
-            .cache()
-        )
-        next_frontier = deferred.unionByName(new_frontier_rows)
-        self._commit(round_no, "frontier", self.t_frontier, next_frontier, mode="overwrite")
-        _mark("commit_frontier")
+            new_frontier_rows = fut_frontier.result() if fut_frontier else None
+        if new_frontier_rows is None:
+            new_frontier_rows = job_frontier()
+        _mark("commits_and_frontier")
 
         new_state = (
             state.join(
