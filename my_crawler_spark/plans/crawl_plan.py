@@ -179,6 +179,26 @@ class CrawlRunner:
         self.t_chunks = self.catalog.table("chunks", CHUNKS_SCHEMA)
         self.t_lineage = self.catalog.table("lineage", LINEAGE_SCHEMA)
         self.t_requests = self.catalog.table("requests", REQUESTS_SCHEMA)
+        # running url_seen row count (bloom sizing) — maintained from commit
+        # footer counts; None = lazily initialized from the current snapshot
+        self._seen_rows: int | None = None
+
+    def close(self) -> None:
+        """Release the runner's pinned caches (the bucketed pages table).
+
+        Long pytest sessions construct many runners against one shared JVM;
+        without this the per-runner ``pages.cache()`` accumulates until the
+        driver heap is exhausted (the round-1 resume-test flake)."""
+        try:
+            self.pages.unpersist()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     # ------------------------------------------------------------------ admit
     def _discover_sitemap_pages(self, seed: str, declared: list[str], max_pages: int) -> list[str]:
@@ -309,12 +329,17 @@ class CrawlRunner:
                 print(f"[round {round_no}] {label}: {now - _t0:.2f}s", flush=True)
                 _t0 = now
 
-        frontier = self.t_frontier.read()
-        if frontier.isEmpty():
+        if self.t_frontier.count_rows() == 0:
             return 0
+        frontier = self.t_frontier.read()
         _mark("read_frontier")
         spark = self.spark
         seen = self.t_seen.read()
+        # seen-set size for bloom sizing: tracked driver-side from commit
+        # footer counts — never a count() job on the hot path
+        seen_rows = self._seen_rows
+        if seen_rows is None:
+            seen_rows = self.t_seen.count_rows()
         blocked = self.t_blocked.read()
         state = self.t_state.read()
         requests = self.t_requests.read()
@@ -345,181 +370,212 @@ class CrawlRunner:
                 & (F.col("crawled_so_far") < F.col("max_pages")),
             )
         )
-        marked = admit_prefix(ctl, self.budgets).cache()
-        admitted = marked.filter("admitted").drop("admitted")
-        deferred = marked.filter(~F.col("admitted")).select(*[f.name for f in FRONTIER_SCHEMA])
-
-        # robots gate, then fetch+extract only what passed every pre-gate
-        to_check = admitted.filter("fetchable")
-        checked = robots_gate(to_check, self.robots_dim)
-        to_fetch = checked.filter("robots_allowed_flag").select(
-            "request_id", "seq", "url", "depth"
-        )
+        round_caches: list = []
         hop_caches: list = []
-        fetched = fetch_join(
-            to_fetch, self.pages, self.redirects, has_redirects=self.has_redirects,
-            cache_registry=hop_caches,
-        ).cache()
-        extracted = extract_pages(
-            fetched.filter(F.col("fetch_kind") == "ok"), self.images,
-            skew_salt=self.skew_salt,
-        ).cache()
-
-        # assemble control rows for the fold
-        fetch_ctl = fetched.select(
-            "request_id", "seq", "fetch_kind", "final_url", "blocked_url", "outlinks"
-        )
-        ext_ctl = extracted.select(
-            "request_id", "seq", (F.size("chunks") > 0).alias("has_chunks")
-        )
-        robots_ctl = checked.select("request_id", "seq", "robots_allowed_flag")
-        control = (
-            admitted.join(robots_ctl, ["request_id", "seq"], "left")
-            .withColumn("robots_allowed_flag", F.coalesce("robots_allowed_flag", F.lit(True)))
-            .join(fetch_ctl, ["request_id", "seq"], "left")
-            .join(ext_ctl, ["request_id", "seq"], "left")
-            .withColumn("has_chunks", F.coalesce("has_chunks", F.lit(False)))
-            .withColumn(
-                "final_is_trap",
-                F.coalesce(is_crawl_trap(F.col("final_url")), F.lit(False)),
+        try:
+            marked = admit_prefix(ctl, self.budgets).cache()
+            round_caches.append(marked)
+            admitted = marked.filter("admitted").drop("admitted")
+            deferred = marked.filter(~F.col("admitted")).select(
+                *[f.name for f in FRONTIER_SCHEMA]
             )
-        )
-        _mark("plan_assembled")
-        fold_out = gate_fold(control.select(*FOLD_IN_COLS)).cache()
-        fold_out.count()
-        for hc in hop_caches:  # fetched is materialized; free the hop caches
-            hc.unpersist()
-        _mark("fold_executed")
 
-        # ---- commits (independent tables -> concurrent driver threads;
-        # Spark schedules the jobs in parallel, overlapping their fixed
-        # per-job latencies — a big serial-fraction win on small rounds) ---
-        import concurrent.futures as _fut
+            # robots gate, then fetch+extract only what passed every pre-gate
+            to_check = admitted.filter("fetchable")
+            checked = robots_gate(to_check, self.robots_dim)
+            to_fetch = checked.filter("robots_allowed_flag").select(
+                "request_id", "seq", "url", "depth"
+            )
+            fetched = fetch_join(
+                to_fetch, self.pages, self.redirects, has_redirects=self.has_redirects,
+                cache_registry=hop_caches,
+            ).cache()
+            round_caches.append(fetched)
+            extracted = extract_pages(
+                fetched.filter(F.col("fetch_kind") == "ok"), self.images,
+                skew_salt=self.skew_salt,
+            ).cache()
+            round_caches.append(extracted)
 
-        marks = (
-            fold_out.filter("visited_mark")
-            .select("request_id", "url")
-            .unionByName(
-                fold_out.filter("final_mark").select(
-                    "request_id", F.col("final_url").alias("url")
+            # assemble control rows for the fold
+            fetch_ctl = fetched.select(
+                "request_id", "seq", "fetch_kind", "final_url", "blocked_url", "outlinks"
+            )
+            ext_ctl = extracted.select(
+                "request_id", "seq", (F.size("chunks") > 0).alias("has_chunks")
+            )
+            robots_ctl = checked.select("request_id", "seq", "robots_allowed_flag")
+            control = (
+                admitted.join(robots_ctl, ["request_id", "seq"], "left")
+                .withColumn(
+                    "robots_allowed_flag", F.coalesce("robots_allowed_flag", F.lit(True))
+                )
+                .join(fetch_ctl, ["request_id", "seq"], "left")
+                .join(ext_ctl, ["request_id", "seq"], "left")
+                .withColumn("has_chunks", F.coalesce("has_chunks", F.lit(False)))
+                .withColumn(
+                    "final_is_trap",
+                    F.coalesce(is_crawl_trap(F.col("final_url")), F.lit(False)),
                 )
             )
-            .distinct()
-            .join(seen, ["request_id", "url"], "left_anti")
-        )
-        new_blocked = (
-            fold_out.filter(F.col("new_blocked_origin").isNotNull())
-            .select("request_id", F.col("new_blocked_origin").alias("origin"))
-            .distinct()
-            .join(blocked, ["request_id", "origin"], "left_anti")
-        )
-        visits = fold_out.filter(
-            F.col("outcome").isin("robots", "blocked", "failed", "final_trap", "crawled")
-        ).select(
-            "request_id", "seq", "url", "depth", "outcome", "final_url",
-            F.lit(round_no).alias("round"),
-        )
-        per_req = (
-            fold_out.groupBy("request_id")
-            .agg(
-                F.sum(F.col("crawled_flag").cast("long")).alias("crawled"),
-                F.sum(F.col("indexed_flag").cast("long")).alias("indexed"),
-                F.sum((F.col("outcome") == "failed").cast("long")).alias("failed"),
-                F.sum((F.col("outcome") == "robots").cast("long")).alias("skipped_robots"),
-                F.sum((F.col("outcome") == "depth_skip").cast("long")).alias("skipped_depth"),
-                F.sum((F.col("outcome") == "blocked").cast("long")).alias("blocked"),
-                F.count("*").alias("admitted"),
-            )
-            .withColumn("round", F.lit(round_no))
-        )
-        deferred_counts = deferred.groupBy("request_id").agg(F.count("*").alias("deferred"))
-        metrics = (
-            per_req.join(deferred_counts, "request_id", "left")
-            .withColumn("deferred", F.coalesce("deferred", F.lit(0)))
-            .select(*[f.name for f in METRICS_SCHEMA])
-        )
-        crawled_rows = fold_out.filter(F.col("outcome") == "crawled")
+            _mark("plan_assembled")
+            fold_out = gate_fold(control.select(*FOLD_IN_COLS)).cache()
+            round_caches.append(fold_out)
+            fold_out.count()
+            for hc in hop_caches:  # fetched is materialized; free the hop caches
+                hc.unpersist()
+            hop_caches.clear()
+            _mark("fold_executed")
 
-        def job_chunks():
-            chunks = explode_chunks(
-                extracted.join(
-                    crawled_rows.select("request_id", "seq"), ["request_id", "seq"]
+            # ---- commits (independent tables -> concurrent driver threads;
+            # Spark schedules the jobs in parallel, overlapping their fixed
+            # per-job latencies — a big serial-fraction win on small rounds).
+            # Each commit is ONE action (the write); lineage row counts come
+            # from the parquet footers (SnapshotTable.last_rows).
+            import concurrent.futures as _fut
+
+            marks = (
+                fold_out.filter("visited_mark")
+                .select("request_id", "url")
+                .unionByName(
+                    fold_out.filter("final_mark").select(
+                        "request_id", F.col("final_url").alias("url")
+                    )
                 )
-            ).select(*[f.name for f in CHUNKS_SCHEMA]).persist()
-            try:
-                n = chunks.count()
-                snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
-            finally:
-                chunks.unpersist()
-            self._lineage(round_no, "chunks", snap, n)
+                .distinct()
+                .join(seen, ["request_id", "url"], "left_anti")
+            )
+            new_blocked = (
+                fold_out.filter(F.col("new_blocked_origin").isNotNull())
+                .select("request_id", F.col("new_blocked_origin").alias("origin"))
+                .distinct()
+                .join(blocked, ["request_id", "origin"], "left_anti")
+            )
+            visits = fold_out.filter(
+                F.col("outcome").isin(
+                    "robots", "blocked", "failed", "final_trap", "crawled"
+                )
+            ).select(
+                "request_id", "seq", "url", "depth", "outcome", "final_url",
+                F.lit(round_no).alias("round"),
+            )
+            per_req = (
+                fold_out.groupBy("request_id")
+                .agg(
+                    F.sum(F.col("crawled_flag").cast("long")).alias("crawled"),
+                    F.sum(F.col("indexed_flag").cast("long")).alias("indexed"),
+                    F.sum((F.col("outcome") == "failed").cast("long")).alias("failed"),
+                    F.sum((F.col("outcome") == "robots").cast("long")).alias(
+                        "skipped_robots"
+                    ),
+                    F.sum((F.col("outcome") == "depth_skip").cast("long")).alias(
+                        "skipped_depth"
+                    ),
+                    F.sum((F.col("outcome") == "blocked").cast("long")).alias("blocked"),
+                    F.count("*").alias("admitted"),
+                )
+                .withColumn("round", F.lit(round_no))
+            )
+            deferred_counts = deferred.groupBy("request_id").agg(
+                F.count("*").alias("deferred")
+            )
+            metrics = (
+                per_req.join(deferred_counts, "request_id", "left")
+                .withColumn("deferred", F.coalesce("deferred", F.lit(0)))
+                .select(*[f.name for f in METRICS_SCHEMA])
+            )
+            crawled_rows = fold_out.filter(F.col("outcome") == "crawled")
 
-        # the link/frontier pipeline needs only fold_out + round-start seen,
-        # so it overlaps with the table commits in the same pool
-        def job_frontier():
-            bloom = None
-            if self.use_bloom:
-                n = seen.count()
-                # below the threshold a plain anti-join beats two extra jobs
-                if n >= self.bloom_min_rows:
-                    bloom = bloom_mod.build_bloom(seen, "url", expected_n=n)
-            link_parents = crawled_rows.select("request_id", "seq", "depth").join(
-                fetch_ctl.select("request_id", "seq", "outlinks"), ["request_id", "seq"]
-            )
-            new_links = admit_links(
-                link_parents, fold_out, deferred, seen, requests, spark, bloom
-            )
-            seq_base = state.select("request_id", "max_seq")
-            # cached: reused for the frontier write AND the max_seq update
-            nfr = (
-                assign_seqs(new_links, seq_base)
-                .select(*[f.name for f in FRONTIER_SCHEMA])
-                .cache()
-            )
-            self._commit(
-                round_no, "frontier", self.t_frontier,
-                deferred.unionByName(nfr), mode="overwrite",
-            )
-            return nfr
+            def job_chunks():
+                chunks = explode_chunks(
+                    extracted.join(
+                        crawled_rows.select("request_id", "seq"), ["request_id", "seq"]
+                    )
+                ).select(*[f.name for f in CHUNKS_SCHEMA]).persist()
+                try:
+                    snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
+                finally:
+                    chunks.unpersist()
+                self._lineage(round_no, "chunks", snap, self.t_chunks.last_rows)
 
-        overlap_frontier = os.environ.get("SPARK_GRAFT_OVERLAP_FRONTIER", "1") == "1"
-        with _fut.ThreadPoolExecutor(max_workers=6) as pool:
-            fut_frontier = pool.submit(job_frontier) if overlap_frontier else None
-            jobs = [
-                pool.submit(self._commit, round_no, "url_seen", self.t_seen, marks),
-                pool.submit(self._commit, round_no, "blocked_origins", self.t_blocked, new_blocked),
-                pool.submit(self._commit, round_no, "visit_log", self.t_visits, visits),
-                pool.submit(self._commit, round_no, "metrics", self.t_metrics, metrics),
-                pool.submit(job_chunks),
-            ]
-            for j in jobs:
-                j.result()
-            new_frontier_rows = fut_frontier.result() if fut_frontier else None
-        if new_frontier_rows is None:
-            new_frontier_rows = job_frontier()
-        _mark("commits_and_frontier")
+            # the link/frontier pipeline needs only fold_out + round-start seen,
+            # so it overlaps with the table commits in the same pool
+            def job_frontier():
+                bloom = None
+                if self.use_bloom and seen_rows >= self.bloom_min_rows:
+                    # below the threshold a plain anti-join beats two extra jobs
+                    bloom = bloom_mod.build_bloom(seen, "url", expected_n=seen_rows)
+                link_parents = crawled_rows.select("request_id", "seq", "depth").join(
+                    fetch_ctl.select("request_id", "seq", "outlinks"),
+                    ["request_id", "seq"],
+                )
+                new_links = admit_links(
+                    link_parents, fold_out, deferred, seen, requests, spark, bloom
+                )
+                seq_base = state.select("request_id", "max_seq")
+                # cached: reused for the frontier write AND the max_seq update
+                nfr = (
+                    assign_seqs(new_links, seq_base)
+                    .select(*[f.name for f in FRONTIER_SCHEMA])
+                    .cache()
+                )
+                round_caches.append(nfr)
+                self._commit(
+                    round_no, "frontier", self.t_frontier,
+                    deferred.unionByName(nfr), mode="overwrite",
+                )
+                return nfr
 
-        new_state = (
-            state.join(
-                per_req.select("request_id", F.col("crawled").alias("__c")),
-                "request_id", "left",
-            )
-            .withColumn("crawled_so_far", F.col("crawled_so_far") + F.coalesce("__c", F.lit(0)))
-            .drop("__c")
-            .join(
-                new_frontier_rows.groupBy("request_id").agg(F.max("seq").alias("__ms")),
-                "request_id", "left",
-            )
-            .withColumn("max_seq", F.greatest("max_seq", F.coalesce("__ms", F.lit(0))))
-            .drop("__ms")
-        )
-        self._commit(round_no, "request_state", self.t_state, new_state, mode="overwrite")
-        _mark("commit_state")
+            overlap_frontier = os.environ.get("SPARK_GRAFT_OVERLAP_FRONTIER", "1") == "1"
+            with _fut.ThreadPoolExecutor(max_workers=6) as pool:
+                fut_frontier = pool.submit(job_frontier) if overlap_frontier else None
+                jobs = [
+                    pool.submit(self._commit, round_no, "url_seen", self.t_seen, marks),
+                    pool.submit(
+                        self._commit, round_no, "blocked_origins", self.t_blocked,
+                        new_blocked,
+                    ),
+                    pool.submit(self._commit, round_no, "visit_log", self.t_visits, visits),
+                    pool.submit(self._commit, round_no, "metrics", self.t_metrics, metrics),
+                    pool.submit(job_chunks),
+                ]
+                for j in jobs:
+                    j.result()
+                new_frontier_rows = fut_frontier.result() if fut_frontier else None
+            if new_frontier_rows is None:
+                new_frontier_rows = job_frontier()
+            self._seen_rows = seen_rows + self.t_seen.last_rows
+            _mark("commits_and_frontier")
 
-        self._flush_lineage()
-        remaining = self.t_frontier.read().count()
-        for df in (marked, fetched, extracted, fold_out, new_frontier_rows):
-            df.unpersist()
-        return remaining
+            new_state = (
+                state.join(
+                    per_req.select("request_id", F.col("crawled").alias("__c")),
+                    "request_id", "left",
+                )
+                .withColumn(
+                    "crawled_so_far", F.col("crawled_so_far") + F.coalesce("__c", F.lit(0))
+                )
+                .drop("__c")
+                .join(
+                    new_frontier_rows.groupBy("request_id").agg(
+                        F.max("seq").alias("__ms")
+                    ),
+                    "request_id", "left",
+                )
+                .withColumn("max_seq", F.greatest("max_seq", F.coalesce("__ms", F.lit(0))))
+                .drop("__ms")
+            )
+            self._commit(round_no, "request_state", self.t_state, new_state, mode="overwrite")
+            _mark("commit_state")
+
+            self._flush_lineage()
+            # remaining = the frontier overwrite's own footer count — no re-read
+            return self.t_frontier.last_rows
+        finally:
+            for hc in hop_caches:
+                hc.unpersist()
+            for df in round_caches:
+                df.unpersist()
 
     def run(self, max_rounds: int = 1000) -> int:
         start = self.next_round()
@@ -536,13 +592,9 @@ class CrawlRunner:
 
     # ------------------------------------------------------------------ misc
     def _commit(self, round_no, name, table, df, mode="append"):
-        df = df.persist()  # count + write = two actions; compute once
-        try:
-            n = df.count()
-            snap = table.commit(df, mode=mode)
-        finally:
-            df.unpersist()
-        self._lineage(round_no, name, snap, n)
+        # one Spark action (the write); row count from the parquet footers
+        snap = table.commit(df, mode=mode)
+        self._lineage(round_no, name, snap, table.last_rows)
 
     def _lineage(self, round_no, name, snap, n):
         # buffered; one lineage commit per round (see _flush_lineage);

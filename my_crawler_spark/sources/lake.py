@@ -15,16 +15,24 @@ implements the same *contract* on plain parquet with an atomic manifest:
   Qdrant upsert + stale-version delete (spider/src/qdrant.rs:130-139) as
   MERGE INTO-equivalents.
 
-On a real cluster with an Iceberg catalog configured, ``IcebergTable``
-(same interface, SQL-backed) is selected instead; the runner only talks to
-the interface. The manifest publish uses ``os.replace`` — atomic on POSIX —
-standing in for the catalog's atomic swap.
+On a real cluster with an Iceberg catalog configured, this class is the
+seam to swap: the runner only calls ``commit / read / merge_upsert /
+delete_where / history``, all of which map 1:1 onto Iceberg SQL
+(``INSERT INTO`` / ``VERSION AS OF`` / ``MERGE INTO`` / ``DELETE``). The
+manifest publish uses ``os.replace`` — atomic on POSIX — standing in for
+the catalog's atomic swap.
+
+Commit cost model: ``commit`` runs exactly ONE Spark action (the write);
+row counts come from the parquet footers driver-side (``last_rows`` /
+``count_rows``), never from a second ``count()`` job — at 1000 executors
+the per-round fixed cost is dominated by action count, not data volume.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -33,12 +41,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _footer_rows(data_dir: str) -> int:
+    """Row count from parquet footers — driver-side file metadata, no job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(data_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+    return total
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str, name: str, schema: StructType):
         self.spark = spark
         self.name = name
         self.dir = os.path.join(root, name)
         self.schema = schema
+        self.last_rows = 0  # rows written by the most recent commit()
         os.makedirs(self.dir, exist_ok=True)
 
     # -- manifest plumbing ---------------------------------------------------
@@ -86,15 +106,30 @@ class SnapshotTable:
         return self.spark.read.schema(self.schema).parquet(*dirs)
 
     def commit(self, df: DataFrame, mode: str = "append") -> int:
-        """Write df as a new immutable data dir; publish a new snapshot."""
+        """Write df as a new immutable data dir; publish a new snapshot.
+
+        Exactly one Spark action (the write); the row count is read back
+        from the parquet footers into ``self.last_rows``. An empty append
+        publishes a checkpoint-marker snapshot without keeping the dir.
+        """
         parent = self.current_snapshot()
         prev_dirs = self._manifest(parent)["data_dirs"] if parent else []
-        if mode == "append" and df.isEmpty():
-            return self._publish(prev_dirs, parent)  # empty commit = checkpoint marker
         data_dir = os.path.join(self.dir, f"data-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(data_dir)
+        rows = _footer_rows(data_dir)
+        self.last_rows = rows
+        if mode == "append" and rows == 0:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return self._publish(prev_dirs, parent)  # checkpoint marker
         dirs = prev_dirs + [data_dir] if mode == "append" else [data_dir]
         return self._publish(dirs, parent)
+
+    def count_rows(self, snapshot_id: int | None = None) -> int:
+        """Snapshot row count from footers (no Spark job)."""
+        snap = self.current_snapshot() if snapshot_id is None else snapshot_id
+        if snap == 0:
+            return 0
+        return sum(_footer_rows(d) for d in self._manifest(snap)["data_dirs"])
 
     def merge_upsert(self, new: DataFrame, key_cols: list[str]) -> int:
         """MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT.

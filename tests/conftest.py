@@ -11,6 +11,19 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _reclaim_jvm_memory():
+    """Drop any caches a module leaked (iterative-query caches, runner state)
+    so a long single-process suite can't accumulate JVM heap across modules
+    (the round-1 resume-test flake)."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def fixtures():
     from my_crawler_spark.fixtures import make_all

@@ -43,7 +43,8 @@ def crawl(spark, fixtures, tmp_path_factory):
     runner = make_runner(spark, fixtures, wd)
     runner.admit_requests(fixtures["seeds"])
     final_round = runner.run(max_rounds=100)
-    return runner, final_round
+    yield runner, final_round
+    runner.close()
 
 
 def test_visit_order_matches_oracle(crawl, fixtures):
@@ -124,16 +125,16 @@ def test_politeness_budget_does_not_change_results(spark, fixtures, tmp_path):
     fat = fixtures["politeness_budget"].copy()
     fat["tokens_per_round"] = 1000  # everything in one round
     fx2 = dict(fixtures, politeness_budget=fat)
-    runner = make_runner(spark, fx2, tmp_path / "fat")
-    runner.admit_requests(fixtures["seeds"])
-    runner.run(max_rounds=100)
-    oracle = oracle_results(fixtures)
-    got = (
-        runner.t_visits.read()
-        .orderBy("request_id", "seq")
-        .select("request_id", "url", "outcome")
-        .collect()
-    )
+    with make_runner(spark, fx2, tmp_path / "fat") as runner:
+        runner.admit_requests(fixtures["seeds"])
+        runner.run(max_rounds=100)
+        oracle = oracle_results(fixtures)
+        got = (
+            runner.t_visits.read()
+            .orderBy("request_id", "seq")
+            .select("request_id", "url", "outcome")
+            .collect()
+        )
     by_req: dict[int, list] = {}
     for r in got:
         by_req.setdefault(r.request_id, []).append((r.url, r.outcome))
@@ -146,19 +147,22 @@ def test_resume_mid_crawl(spark, fixtures, tmp_path):
     final state must equal an uninterrupted run."""
     wd = tmp_path / "resume"
     r1 = make_runner(spark, fixtures, wd)
-    r1.admit_requests(fixtures["seeds"])
-    r1.run_round(1)
-    r1.run_round(2)
+    try:
+        r1.admit_requests(fixtures["seeds"])
+        r1.run_round(1)
+        r1.run_round(2)
+    finally:
+        r1.close()
     del r1
-    r2 = make_runner(spark, fixtures, wd)  # fresh driver, state from snapshots
-    r2.run(max_rounds=100)
-    oracle = oracle_results(fixtures)
-    got = (
-        r2.t_visits.read()
-        .orderBy("request_id", "seq")
-        .select("request_id", "url", "outcome")
-        .collect()
-    )
+    with make_runner(spark, fixtures, wd) as r2:  # fresh driver, state from snapshots
+        r2.run(max_rounds=100)
+        oracle = oracle_results(fixtures)
+        got = (
+            r2.t_visits.read()
+            .orderBy("request_id", "seq")
+            .select("request_id", "url", "outcome")
+            .collect()
+        )
     by_req: dict[int, list] = {}
     for r in got:
         by_req.setdefault(r.request_id, []).append((r.url, r.outcome))
