@@ -69,6 +69,42 @@ def _pattern_re(pattern: str) -> re.Pattern:
     return re.compile("^" + "".join(parts) + ("$" if anchored else ""))
 
 
+def select_group_rules(
+    body: str, product_token: str
+) -> list[tuple[str, bool, re.Pattern]] | None:
+    """Parse once and pre-compile the applicable group's rules for batch
+    matching: returns [(pattern, is_allow, compiled_regex)] sorted by
+    ASCENDING precedence (pattern length, then allow-wins-ties), so a
+    vectorized matcher can apply them in order and let the last write win.
+    None = no applicable group (allow everything)."""
+    rules, _ = parse_robots(body)
+    token = product_token.lower()
+    candidates = {a for a, _, _ in rules}
+    best = ""
+    for a in candidates:
+        if a != "*" and token.startswith(a) and len(a) > len(best):
+            best = a
+    if not best and "*" not in candidates:
+        return None
+    group = best or "*"
+    sel = [
+        (p, kind == "allow", _pattern_re(p))
+        for a, kind, p in rules
+        if a == group and p != ""
+    ]
+    sel.sort(key=lambda t: (len(t[0]), t[1]))
+    return sel
+
+
+def url_match_path(url: str) -> str:
+    """The path[?query] string robots rules match against."""
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    return path
+
+
 def robots_allowed(body: str | None, product_token: str, url: str) -> bool:
     """one_agent_allowed_by_robots analogue (robots.rs:32-37)."""
     if body is None:

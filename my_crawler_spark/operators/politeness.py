@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.robots import origin_allowed, robots_allowed
+from ..functions.robots import origin_allowed, select_group_rules
 
 DEFAULT_TOKENS_PER_ROUND = 8
 PRODUCT_TOKEN = "my_crawler"
@@ -105,10 +105,21 @@ def robots_gate(rows: DataFrame, robots_dim: DataFrame) -> DataFrame:
             body, allow_all = None, True
         if body is None or (isinstance(body, float) and pd.isna(body)):
             pdf["robots_allowed_flag"] = bool(allow_all)
-        else:
-            pdf["robots_allowed_flag"] = [
-                robots_allowed(body, PRODUCT_TOKEN, u) for u in pdf["url"]
-            ]
+            return pdf.drop(columns=["__entry_body", "__allow_all"])
+        # parse + compile the group's rules ONCE per origin, then match the
+        # whole batch with vectorized pandas .str ops (no per-row Python)
+        rules = select_group_rules(body, PRODUCT_TOKEN)
+        if rules is None:
+            pdf["robots_allowed_flag"] = True
+            return pdf.drop(columns=["__entry_body", "__allow_all"])
+        paths = pdf["url"].str.replace(
+            r"^[a-z][a-z0-9+.\-]*://[^/?]*", "", regex=True, case=False
+        )
+        paths = paths.where(paths.str.startswith("/"), "/" + paths)
+        verdict = pd.Series(True, index=pdf.index)
+        for _pat, is_allow, rx in rules:  # ascending precedence; last write wins
+            verdict[paths.str.match(rx)] = is_allow
+        pdf["robots_allowed_flag"] = verdict
         return pdf.drop(columns=["__entry_body", "__allow_all"])
 
     joined = rows.join(

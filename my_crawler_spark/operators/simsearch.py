@@ -18,8 +18,10 @@ pruned read: bucket id is the partition key of the embeddings table.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from .search import cosine
 
@@ -55,22 +57,6 @@ def _srp_planes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndar
     return rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
-    """Sign-random-projection bucket id as a pure column expression:
-    bit_i = (Σ_j v_j * p_ij) > 0, assembled into an int. JVM-side."""
-    n_bits, dim = planes.shape
-    acc = F.lit(0).cast("long")
-    for i in range(n_bits):
-        dot = sum(
-            (F.element_at(F.col(vec_col), j + 1) * float(planes[i, j]) for j in range(dim)),
-            F.lit(0.0),
-        )
-        acc = acc.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    return acc
-
-
 def lsh_index(
     embeddings: DataFrame,
     dim: int,
@@ -81,22 +67,35 @@ def lsh_index(
     seed: int = 42,
 ) -> DataFrame:
     """(table, bucket, id, vec) — at scale, write partitioned by (table,
-    bucket) so probes become partition-pruned scans."""
+    bucket) so probes become partition-pruned scans.
+
+    Bucket ids come from ONE scalar pandas_udf: a single numpy tensordot of
+    the Arrow batch against the broadcast (n_tables, n_bits, dim) plane
+    tensor, then posexplode — O(1) plan size at any dimensionality and one
+    scan for all tables. (A pure-column-expression variant builds
+    n_tables*n_bits*dim literal multiply nodes — a Catalyst analysis bomb at
+    384-d — and was replaced by this.)
+    """
     planes = _srp_planes(dim, n_bits, n_tables, seed)
-    parts = []
-    for t in range(n_tables):
-        parts.append(
-            embeddings.select(
-                F.lit(t).alias("table"),
-                _bucket_expr(vec_col, planes[t]).alias("bucket"),
-                F.col(id_col),
-                F.col(vec_col),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        P = bc.value  # (T, n_bits, D)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, D)
+        bits = np.tensordot(V, P, axes=([1], [2])) > 0  # (n, T, n_bits)
+        ids = bits.astype(np.int64) @ weights  # (n, T)
+        return pd.Series([row.tolist() for row in ids])
+
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(bucket_ids(F.col(vec_col))).alias("table", "bucket"),
+    ).select("table", "bucket", id_col, vec_col)
 
 
 def lsh_topk(
@@ -112,15 +111,15 @@ def lsh_topk(
 ) -> DataFrame:
     """Probe each query's buckets across tables, exact-rescore the union."""
     planes = _srp_planes(dim, n_bits, n_tables, seed)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
     probes = []
     for qid, vec in queries:
-        v = np.asarray(vec, dtype=np.float64)
-        for t in range(n_tables):
-            bits = 0
-            for i in range(n_bits):
-                if float(planes[t, i] @ v) > 0:
-                    bits |= 1 << i
-            probes.append((qid, t, bits))
+        # same tensordot shape as lsh_index's UDF so a vector that is both
+        # indexed and queried lands in identical buckets
+        v = np.asarray(vec, dtype=np.float64)[None, :]
+        bits = np.tensordot(v, planes, axes=([1], [2]))[0] > 0  # (T, n_bits)
+        for t, row in enumerate(bits.astype(np.int64) @ weights):
+            probes.append((qid, t, int(row)))
     probe_df = index.sparkSession.createDataFrame(
         probes, "query_id long, table int, bucket long"
     )

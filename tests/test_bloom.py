@@ -43,3 +43,46 @@ def test_params_sizing():
     m, k = BloomFilter.params(1_000_000, 0.01)
     assert 9_000_000 < m < 11_000_000  # ~9.6 bits/key at 1%
     assert 5 <= k <= 9
+
+
+def test_banked_build_10m_keys_bounded_driver(spark):
+    """Verdict r1 #5: a 10^7-key build must (a) bank the filter, (b) OR-reduce
+    executor-side so the driver materializes exactly n_banks bitsets (not one
+    per partition), and (c) stay prune-correct. Driver residency = the final
+    filter itself: n_banks * bits_per_bank / 8 bytes."""
+    from pyspark.sql import functions as F
+
+    from my_crawler_spark.operators.bloom import BloomFilter as BF
+
+    n = 10_000_000
+    keys = spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 997).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url")
+    )
+    bloom = build_bloom(keys, "url", expected_n=n, fpp=0.01)
+    assert bloom.n_banks == 6  # 10^7 keys / 2M-per-bank + 1
+    per_bank_bits, _ = BF.params(n // bloom.n_banks, 0.01)
+    assert bloom.total_bytes() == bloom.n_banks * per_bank_bits // 8
+    # no false negatives on a member sample; fpp sane on a fresh sample
+    member = keys.limit(20_000)
+    assert bloom_maybe_seen(spark, member, "url", bloom, "maybe").filter(
+        ~F.col("maybe")
+    ).count() == 0
+    fresh = spark.range(20_000).select(
+        F.concat(F.lit("https://fresh.example.org/"), F.col("id").cast("string")).alias("url")
+    )
+    fp = bloom_maybe_seen(spark, fresh, "url", bloom, "maybe").filter("maybe").count()
+    assert fp / 20_000 < 0.05
+
+
+def test_multi_bank_prune_equivalence(spark):
+    """Banked prune must equal the plain anti-join exactly."""
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(2000)], ["url"])
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(0, 2000, 3)], ["url"])
+    bloom = build_bloom(seen, "url", expected_n=700, n_banks=8)
+    assert bloom.n_banks == 8
+    with_bloom = {
+        r.url for r in anti_join_with_bloom(spark, cand, seen, ["url"], bloom, "url").collect()
+    }
+    plain = {r.url for r in cand.join(seen, ["url"], "left_anti").collect()}
+    assert with_bloom == plain

@@ -66,3 +66,36 @@ def test_query_string_matched():
     body = "User-agent: *\nDisallow: /search?q=\n"
     assert not robots_allowed(body, "x", "https://a.com/search?q=test")
     assert robots_allowed(body, "x", "https://a.com/search")
+
+
+def test_vectorized_gate_equals_per_row_matcher(spark):
+    """robots_gate's batch matcher (compiled rules + pandas .str) must agree
+    with robots_allowed row by row on adversarial paths."""
+    from my_crawler_spark.operators.politeness import PRODUCT_TOKEN, robots_gate
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "Disallow: /*.json$\n"
+        "Disallow: /search?q=\n"
+        "Allow: /search?q=safe\n"
+        "Disallow: /tmp*\n"
+    )
+    urls = [
+        "https://a.com/", "https://a.com/page", "https://a.com/private/x",
+        "https://a.com/private/ok", "https://a.com/private/ok/deeper",
+        "https://a.com/data.json", "https://a.com/data.json5",
+        "https://a.com/search?q=test", "https://a.com/search?q=safe",
+        "https://a.com/search", "https://a.com/tmp/file", "https://a.com",
+        "https://a.com?q=1", "https://a.com/TMP/upper",
+    ]
+    rows = spark.createDataFrame(
+        [("https://a.com", u) for u in urls], ["origin", "url"]
+    )
+    dim = spark.createDataFrame(
+        [("https://a.com", body, False)], ["origin", "entry_body", "allow_all"]
+    )
+    got = {r.url: r.robots_allowed_flag for r in robots_gate(rows, dim).collect()}
+    for u in urls:
+        assert got[u] == robots_allowed(body, PRODUCT_TOKEN, u), u

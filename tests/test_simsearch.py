@@ -66,3 +66,21 @@ def test_ivf_recall(spark, emb):
         by_b.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(by_q.get(q, set()) & by_b[q]) / 10 for q in by_b]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_lsh_384d_plan_is_small_and_fast(spark):
+    """Regression for the SRP bucket expression bomb: at the engine's real
+    embedding dimensionality (384, operators/extract.py EMBED_DIM) the
+    bucket ids must come from one pandas_udf matmul — plan analysis is O(1)
+    in dim, not n_bits*dim literal nodes (which took minutes at 384-d)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(384).astype(float).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    t0 = time.time()
+    idx = SS.lsh_index(df, dim=384, n_bits=8, n_tables=4)
+    assert idx.count() == 60 * 4
+    assert time.time() - t0 < 30  # expression-tree variant: minutes
+    got = SS.lsh_topk(idx, [(0, rows[0][1])], dim=384, k=5, n_bits=8, n_tables=4).collect()
+    assert any(r.vec_id == 0 and r.rank == 1 for r in got)
