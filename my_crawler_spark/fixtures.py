@@ -215,6 +215,12 @@ def make_web(
     )
     df = pd.concat([df, chain_rows], ignore_index=True)
 
+    # Retry-After (S2, web_visitor.rs:255-271): flaky pages advertise a
+    # delay; 0 means pure exponential backoff. Deterministic from position.
+    df["retry_after_s"] = 0
+    flaky_idx = df.index[df.flaky_fail_times > 0]
+    df.loc[flaky_idx, "retry_after_s"] = (flaky_idx % 3) * 4  # 0 / 4 / 8 s
+
     # outlinks: raw hrefs with canonicalization noise
     lr = _rng(seed, "links")
     outlinks = []

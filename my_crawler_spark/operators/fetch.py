@@ -33,6 +33,35 @@ ALLOWED_CTYPES = ("text/html", "application/xhtml+xml")
 _RESULT_COLS = ("fetch_kind", "final_url", "image_id", "outlinks", "blocked_url", "fetch_error")
 
 
+def retry_token_cost(flaky_col: F.Column, retry_after_col: F.Column) -> F.Column:
+    """Politeness tokens one frontier row consumes (S2).
+
+    The reference acquires the per-origin limiter once per attempt
+    (web_visitor.rs:193) and sleeps ``max(1s * 2^attempt, Retry-After)``
+    between attempts (web_visitor.rs:255-271). With one token ~= one
+    2-second origin slot (web_visitor.rs:29-62), a row's cost is
+
+        attempts + floor(sum_of_inter-attempt_delays / 2)
+
+    where attempts = min(flaky_fail_times + 1, MAX_ATTEMPTS). Healthy rows
+    cost exactly 1 token, so admission is unchanged for them; retried rows
+    eat into their host's round budget, pushing the host's later URLs into
+    later rounds — pure pacing, never a gate change (strict-prefix rounds).
+    """
+    ra = F.coalesce(retry_after_col, F.lit(0)).cast("long")
+    attempts = F.least(
+        F.coalesce(flaky_col, F.lit(0)).cast("long") + 1, F.lit(MAX_ATTEMPTS).cast("long")
+    )
+    d0 = F.greatest(F.lit(1).cast("long"), ra)  # after attempt 0: max(2^0, ra)
+    d1 = F.greatest(F.lit(2).cast("long"), ra)  # after attempt 1: max(2^1, ra)
+    delay = (
+        F.when(attempts >= 3, d0 + d1)
+        .when(attempts == 2, d0)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return attempts + F.floor(delay / 2).cast("long")
+
+
 def _classify(hop: DataFrame) -> DataFrame:
     """Resolve one hop: rows joined with their pages row -> terminal result
     or 'redirect' continuation. Input cols: cur_url + pages cols (nullable)."""

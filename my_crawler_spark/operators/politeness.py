@@ -46,13 +46,19 @@ PRODUCT_TOKEN = "my_crawler"
 def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
     """Mark each frontier row admitted/deferred for this round.
 
-    frontier: (request_id, url, host, depth, seq, fetchable:boolean)
+    frontier: (request_id, url, host, depth, seq, fetchable:boolean
+               [, token_cost:long — per-attempt politeness cost, S2])
     budgets:  (host, tokens_per_round) — small dim, broadcast.
 
     Returns frontier + ``admitted`` column. Strict prefix per request_id:
-    cutoff = min seq (per request) of any fetchable row whose within-host
-    rank exceeds its host budget; admitted = seq < cutoff.
+    cutoff = min seq (per request) of any fetchable row that would START
+    after its host's token budget is spent (``cumulative_cost - own_cost >=
+    budget``); admitted = seq < cutoff. With unit costs this is exactly the
+    old "rank exceeds budget" rule; weighted costs (retried fetches, S2)
+    only move the cutoff earlier — pacing, never reordering.
     """
+    if "token_cost" not in frontier.columns:
+        frontier = frontier.withColumn("token_cost", F.lit(1).cast("long"))
     rank_schema = StructType(
         frontier.schema.fields
         + [StructField("tokens_per_round", LongType()), StructField("host_rank", LongType())]
@@ -65,7 +71,8 @@ def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
             tok = DEFAULT_TOKENS_PER_ROUND
         # a zero/negative budget would starve the strict prefix forever
         pdf["tokens_per_round"] = max(int(tok), 1)
-        pdf["host_rank"] = pdf["fetchable"].cumsum()  # only fetchable rows consume
+        # only fetchable rows consume; host_rank = cumulative token cost
+        pdf["host_rank"] = (pdf["token_cost"] * pdf["fetchable"]).cumsum()
         return pdf
 
     with_budget = frontier.join(
@@ -75,8 +82,12 @@ def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
     )
     ranked = with_budget.groupBy("request_id", "host").applyInPandas(rank_host, rank_schema)
 
+    # over-budget = the row would start after the budget is exhausted; a
+    # host's first fetchable row always starts (its own cost may overflow
+    # the round — the fetch just takes longer, like the reference's retries)
     over = ranked.filter(
-        F.col("fetchable") & (F.col("host_rank") > F.col("tokens_per_round"))
+        F.col("fetchable")
+        & (F.col("host_rank") - F.col("token_cost") >= F.col("tokens_per_round"))
     )
     cutoffs = over.groupBy("request_id").agg(F.min("seq").alias("cutoff_seq"))
     return (

@@ -40,7 +40,7 @@ from ..functions.url import (
 )
 from ..operators import bloom as bloom_mod
 from ..operators.extract import explode_chunks, extract_pages
-from ..operators.fetch import fetch_join
+from ..operators.fetch import fetch_join, retry_token_cost
 from ..operators.frontier import FOLD_IN_COLS, admit_links, assign_seqs, gate_fold
 from ..operators.politeness import admit_prefix, py_robots_policy_allowed, robots_gate
 from ..sources.lake import Catalog, upsert_chunks_with_stale_delete
@@ -152,6 +152,19 @@ class CrawlRunner:
         # Partition the big web tables by url so every round's fetch join is
         # co-located (the 100 TB version buckets these once at ingest).
         self.pages = pages.repartition(host_buckets, "url").cache()
+        # per-attempt politeness cost (S2): webs that model Retry-After carry
+        # a retry_after_s column; webs without it are pre-S2 (unit cost) and
+        # skip the admission-side cost join entirely. At cluster scale both
+        # frontier and pages are bucketed by url, making this join co-located.
+        if "retry_after_s" in pages.columns:
+            self.page_cost = self.pages.select(
+                "url",
+                retry_token_cost(
+                    F.col("flaky_fail_times"), F.col("retry_after_s")
+                ).alias("token_cost"),
+            )
+        else:
+            self.page_cost = None
         self.redirects = redirects
         self.has_redirects = not redirects.isEmpty()
         self.images = images
@@ -370,6 +383,10 @@ class CrawlRunner:
                 & (F.col("crawled_so_far") < F.col("max_pages")),
             )
         )
+        if self.page_cost is not None:
+            ctl = ctl.join(self.page_cost, "url", "left").withColumn(
+                "token_cost", F.coalesce("token_cost", F.lit(1).cast("long"))
+            )
         round_caches: list = []
         hop_caches: list = []
         try:

@@ -168,3 +168,77 @@ def test_resume_mid_crawl(spark, fixtures, tmp_path):
         by_req.setdefault(r.request_id, []).append((r.url, r.outcome))
     for rid, res in oracle.items():
         assert by_req[rid] == [(v["url"], v["outcome"]) for v in res.visit_order]
+
+
+def _mini_retry_fixtures(flaky: int, retry_after: int):
+    """One host, seed p0 -> links p1..p4; p1 optionally flaky with a
+    Retry-After. Budget 4 tokens/round."""
+    import pandas as pd
+
+    from my_crawler_spark.fixtures import make_images
+
+    host = "h9.example.com"
+    urls = [f"https://{host}/p{i}" for i in range(5)]
+
+    def page(u, **kv):
+        base = {
+            "url": u, "host": host, "status": 200, "content_type": "text/html",
+            "flaky_fail_times": 0, "body_len": 10_000,
+            "image_id": "img-00000000", "outlinks": [], "retry_after_s": 0,
+        }
+        base.update(kv)
+        return base
+
+    pages = pd.DataFrame(
+        [page(urls[0], outlinks=urls[1:])]
+        + [page(urls[1], status=503 if flaky else 200, flaky_fail_times=flaky,
+                retry_after_s=retry_after)]
+        + [page(u) for u in urls[2:]]
+    )
+    return {
+        "pages": pages,
+        "redirects": pd.DataFrame(
+            [{"src_url": "https://unused.example.org/a",
+              "dst_url": "https://unused.example.org/b"}]
+        ),
+        "images": make_images(seed=1, n=1),
+        "robots": pd.DataFrame(
+            [{"origin": f"https://{host}", "status": 200,
+              "body": "User-agent: *\nAllow: /\n"}]
+        ),
+        "sitemaps": pd.DataFrame(columns=["sitemap_url", "kind", "loc", "lastmod"]),
+        "seeds": pd.DataFrame(
+            [{"request_id": 1, "url": urls[0], "max_pages": 30, "max_depth": 10,
+              "same_domain": True}]
+        ),
+        "politeness_budget": pd.DataFrame(
+            [{"host": host, "tokens_per_round": 4}]
+        ),
+    }
+
+
+def test_retry_tokens_delay_host_pacing(spark, tmp_path):
+    """S2 per-attempt politeness: a flaky page (2 retries, Retry-After 8 s)
+    costs 3 attempts + 8 delay-tokens, so its host's later URLs slip to a
+    later round — while visit ORDER and outcomes stay identical (pacing,
+    never reordering; web_visitor.rs:144-184,255-271)."""
+
+    def run(fx, wd):
+        with make_runner(spark, fx, wd) as r:
+            r.admit_requests(fx["seeds"])
+            r.run(max_rounds=20)
+            return (
+                r.t_visits.read().orderBy("seq")
+                .select("url", "outcome", "round").collect()
+            )
+
+    slow = run(_mini_retry_fixtures(flaky=2, retry_after=8), tmp_path / "slow")
+    fast = run(_mini_retry_fixtures(flaky=0, retry_after=0), tmp_path / "fast")
+    # identical order + outcomes (everything crawls in both variants)
+    assert [(r.url, r.outcome) for r in slow] == [(r.url, r.outcome) for r in fast]
+    rounds_slow = {r.url.rsplit("/", 1)[1]: r.round for r in slow}
+    rounds_fast = {r.url.rsplit("/", 1)[1]: r.round for r in fast}
+    # fast web: seed in round 1, all four links fit round 2's budget of 4
+    assert rounds_fast == {"p0": 1, "p1": 2, "p2": 2, "p3": 2, "p4": 2}
+    # slow web: p1's 11-token cost exhausts round 2; p2..p4 slip to round 3
+    assert rounds_slow == {"p0": 1, "p1": 2, "p2": 3, "p3": 3, "p4": 3}
