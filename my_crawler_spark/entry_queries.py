@@ -1176,3 +1176,96 @@ QUERIES["plagiarism"] = q_plagiarism
 ORACLES["plagiarism"] = SQL_PLAGIARISM
 QUERIES["hybrid_search_e2e"] = q_hybrid_search_e2e
 ORACLES["hybrid_search_e2e"] = SQL_HYBRID_SEARCH_E2E
+
+
+# --------------------------------------------------------------------------
+# R3 exact count / R4 get page / R10 knowledge panel (main.rs:303-363,161-175)
+# --------------------------------------------------------------------------
+def q_exact_count(spark, sf_dir) -> DataFrame:
+    """R3 (main.rs:303-316): exact point count as a 1-row relation."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(F.count("*").alias("n"))
+
+
+SQL_EXACT_COUNT = "SELECT COUNT(*) AS n FROM documents"
+
+
+def q_get_page(spark, sf_dir) -> DataFrame:
+    """R4 (main.rs:323-363): every chunk of one page in chunk_index order,
+    over a chunks relation synthesized from documents (same url scheme as
+    dedup_diversify_paginate)."""
+    from .operators import search as S
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("source_url"),
+        F.col("doc_id").cast("long").alias("chunk_index"),
+        F.substring("text", 1, 80).alias("chunk_content"),
+    )
+    return S.get_page(chunks, "https://src3.example.com/d/3").select(
+        "source_url", "chunk_index", "chunk_content"
+    )
+
+
+SQL_GET_PAGE = """
+    WITH chunks AS (
+      SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id % 40 AS VARCHAR)
+               AS source_url,
+             doc_id AS chunk_index,
+             substr(text, 1, 80) AS chunk_content
+      FROM documents)
+    SELECT source_url, chunk_index, chunk_content FROM chunks
+    WHERE source_url = 'https://src3.example.com/d/3'
+    ORDER BY chunk_index LIMIT 10000
+"""
+
+
+def q_knowledge_panel(spark, sf_dir) -> DataFrame:
+    """R10 (main.rs:161-175): the first-ranked result per source qualifies
+    for a panel iff it has a real title and description — ranked per source
+    so one operator call evaluates 20 independent result sets at once."""
+    from .operators import search as S
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        F.row_number().over(w).alias("out_rank"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("No Title"))
+        .otherwise(F.concat(F.lit("Doc "), F.col("doc_id").cast("string")))
+        .alias("page_title"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" "))
+        .otherwise(F.substring("text", 1, 60))
+        .alias("description"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("source_url"),
+    )
+    return S.knowledge_panel(ranked)
+
+
+SQL_KNOWLEDGE_PANEL = """
+    WITH ranked AS (
+      SELECT row_number() OVER (PARTITION BY source ORDER BY doc_id) AS out_rank,
+             CASE WHEN doc_id % 7 = 0 THEN 'No Title'
+                  ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS page_title,
+             CASE WHEN doc_id % 5 = 0 THEN ' '
+                  ELSE substr(text, 1, 60) END AS description,
+             'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+               AS source_url
+      FROM documents)
+    SELECT page_title, description, source_url FROM ranked
+    WHERE out_rank = 1
+      AND trim(page_title) <> '' AND trim(page_title) <> 'No Title'
+      AND trim(description) <> ''
+"""
+
+QUERIES["exact_count"] = q_exact_count
+ORACLES["exact_count"] = SQL_EXACT_COUNT
+QUERIES["get_page"] = q_get_page
+ORACLES["get_page"] = SQL_GET_PAGE
+QUERIES["knowledge_panel"] = q_knowledge_panel
+ORACLES["knowledge_panel"] = SQL_KNOWLEDGE_PANEL

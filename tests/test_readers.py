@@ -76,3 +76,70 @@ def test_needs_browser():
     assert not needs_browser('<div id="app"><p>content</p></div>')
     assert not needs_browser("<html><p>hello</p></html>")
     assert needs_browser('<script>__NEXT_DATA__ = {}</script>')
+
+
+def test_sitemap_xml_gzip_parse_and_caps(spark):
+    """functions/sitemap.py (sitemap.rs:88-99): gzip-sniffed XML parsing of
+    urlset + sitemapindex feeding the existing BFS — lastmod-desc ordering
+    and the depth-3 cap must hold end-to-end from raw bytes."""
+    import gzip
+    from types import SimpleNamespace
+
+    from my_crawler_spark.functions import sitemap as SM
+    from my_crawler_spark.plans.crawl_plan import CrawlRunner
+
+    origin = "https://h0.example.com"
+    NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+    def urlset(entries):
+        items = "".join(
+            f"<url><loc>{l}</loc>" + (f"<lastmod>{m}</lastmod>" if m else "") + "</url>"
+            for l, m in entries
+        )
+        return f'<?xml version="1.0"?><urlset xmlns="{NS}">{items}</urlset>'.encode()
+
+    def index(entries):
+        items = "".join(
+            f"<sitemap><loc>{l}</loc><lastmod>{m}</lastmod></sitemap>"
+            for l, m in entries
+        )
+        return f'<?xml version="1.0"?><sitemapindex xmlns="{NS}">{items}</sitemapindex>'.encode()
+
+    raw = [
+        # gzipped index: two leaf sitemaps (sm-a newer) + a deep index chain
+        (f"{origin}/sitemap.xml", gzip.compress(index([
+            (f"{origin}/sm-a.xml", "2026-03-05"),
+            (f"{origin}/sm-b.xml", "2026-03-01"),
+            (f"{origin}/d1.xml", "2026-01-01"),
+        ]))),
+        (f"{origin}/sm-a.xml", urlset(
+            [(f"{origin}/a{i}", f"2026-01-{i + 1:02d}") for i in range(5)]
+        )),
+        # gzipped leaf with no lastmods (NaT sorts last, stable)
+        (f"{origin}/sm-b.xml", gzip.compress(urlset(
+            [(f"{origin}/b{i}", None) for i in range(3)]
+        ))),
+        # depth chain: d1 -> d2 -> d3 -> d4; d4 sits at depth 4 > cap 3
+        (f"{origin}/d1.xml", index([(f"{origin}/d2.xml", "2026-01-01")])),
+        (f"{origin}/d2.xml", index([(f"{origin}/d3.xml", "2026-01-01")])),
+        (f"{origin}/d3.xml", index([(f"{origin}/d4.xml", "2026-01-01")])),
+        (f"{origin}/d4.xml", urlset([(f"{origin}/deep", "2026-01-01")])),
+        (f"{origin}/bad.xml", b"<not-xml"),
+        (f"{origin}/trunc.gz", b"\x1f\x8b\x00broken"),
+    ]
+    dim = SM.sitemaps_dim_from_bytes(spark, raw)
+    assert len(dim[dim.sitemap_url == f"{origin}/sm-a.xml"]) == 5
+    assert len(dim[dim.sitemap_url == f"{origin}/bad.xml"]) == 0
+    assert len(dim[dim.sitemap_url == f"{origin}/trunc.gz"]) == 0
+    assert set(dim[dim.sitemap_url == f"{origin}/sitemap.xml"].kind) == {"sitemap"}
+
+    stub = SimpleNamespace(sitemaps_pdf=dim)
+    pages = CrawlRunner._discover_sitemap_pages(
+        stub, f"{origin}/", [f"{origin}/sitemap.xml"], 100
+    )
+    # sm-a's urls lastmod-desc, then sm-b's in file order (no lastmod)
+    assert pages[:8] == (
+        [f"{origin}/a{i}" for i in (4, 3, 2, 1, 0)]
+        + [f"{origin}/b{i}" for i in (0, 1, 2)]
+    )
+    assert f"{origin}/deep" not in pages  # depth cap (sitemap.rs:13-15)
