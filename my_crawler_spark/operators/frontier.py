@@ -74,33 +74,57 @@ FOLD_OUT_SCHEMA = StructType(
 )
 
 
-def _fold_vectorized(pdf: pd.DataFrame) -> pd.DataFrame | None:
-    """Fast path: when a group has no sequential hazards — no 403s (origin
-    propagation), no budget crossing, no redirect final_url colliding with a
-    later frontier url — every gate is row-local and vectorizes. Returns None
-    when a hazard exists (caller falls back to the exact sequential loop).
+class _ReqState:
+    """Carried fold state for one request — O(new-visited set), never a
+    materialized frame: the streaming fold holds at most one Arrow batch of
+    control rows in memory while the set/counters span the whole round."""
+
+    __slots__ = ("crawled", "visited", "blocked", "max_pages", "max_depth")
+
+    def __init__(self, seg: pd.DataFrame):
+        self.crawled = int(seg["crawled_so_far"].iloc[0])
+        self.max_pages = int(seg["max_pages"].iloc[0])
+        self.max_depth = int(seg["max_depth"].iloc[0])
+        self.visited: set[str] = set()
+        self.blocked: set[str] = set()
+
+
+def _fold_segment_vectorized(pdf: pd.DataFrame, st: _ReqState) -> pd.DataFrame | None:
+    """Fast path for one batch segment: when the segment has no sequential
+    hazards — no 403s (origin propagation), no budget crossing, no redirect
+    final_url colliding with a segment url, no within-segment duplicate
+    urls — every gate is row-local given the carried state and vectorizes.
+    Returns None when a hazard exists (caller runs the exact loop instead).
     """
     import numpy as np
-
-    max_pages = int(pdf["max_pages"].iloc[0])
-    max_depth = int(pdf["max_depth"].iloc[0])
-    crawled0 = int(pdf["crawled_so_far"].iloc[0])
 
     fetch_kind = pdf["fetch_kind"].fillna("")
     ok = (fetch_kind == "ok").to_numpy()
     if (fetch_kind == "blocked").any():
         return None
+    if pdf["url"].duplicated().any():
+        return None
     finals = pdf["final_url"].where(ok & (pdf["final_url"] != pdf["url"]))
     redirected = set(finals.dropna())
-    if redirected and pdf["url"].isin(redirected).any():
+    if redirected and (
+        pdf["url"].isin(redirected).any() or (redirected & st.visited)
+    ):
+        # a redirect final colliding with this segment's urls is order-
+        # sensitive; one already in the carried set just dup-skips, but the
+        # loop handles both exactly
         return None
 
-    depth_over = (pdf["depth"] > max_depth).to_numpy()
-    dup = (pdf["pre_visited"] | pdf["pre_blocked"]).to_numpy()
+    depth_over = (pdf["depth"] > st.max_depth).to_numpy()
+    dup = (
+        pdf["pre_visited"]
+        | pdf["pre_blocked"]
+        | pdf["url"].isin(st.visited)
+        | pdf["origin"].isin(st.blocked)
+    ).to_numpy()
     robots_ok = pdf["robots_allowed_flag"].fillna(True).to_numpy(bool)
     trap = pdf["final_is_trap"].fillna(False).to_numpy(bool)
     would_crawl = ~depth_over & ~dup & robots_ok & ok & ~trap
-    if crawled0 + int(would_crawl.sum()) >= max_pages:
+    if st.crawled + int(would_crawl.sum()) >= st.max_pages:
         return None  # budget crossing -> sequential
 
     marked = ~depth_over & ~dup  # passed gates 1-3 -> visited
@@ -127,72 +151,95 @@ def _fold_vectorized(pdf: pd.DataFrame) -> pd.DataFrame | None:
             "indexed_flag": would_crawl & pdf["has_chunks"].fillna(False).to_numpy(bool),
         }
     )
+    st.crawled += int(would_crawl.sum())
+    st.visited.update(pdf["url"].to_numpy()[marked])
+    st.visited.update(redirected)
     return out
 
 
+def _fold_segment_loop(pdf: pd.DataFrame, st: _ReqState) -> pd.DataFrame:
+    """Exact sequential gates over one batch segment, mutating the carried
+    state (gate order in the module docstring; crawl_loop.rs:143-256)."""
+    from ..functions.url import py_origin
+
+    out = []
+
+    def emit(r, outcome, visited=False, final=False, blocked=None,
+             crawled_flag=False, indexed_flag=False):
+        out.append(
+            (r.request_id, r.seq, r.url, r.depth, outcome,
+             r.final_url if final else None, visited, final, blocked,
+             crawled_flag, indexed_flag)
+        )
+
+    for r in pdf.itertuples(index=False):
+        if st.crawled >= st.max_pages or r.depth > st.max_depth:
+            emit(r, "depth_skip" if r.depth > st.max_depth else "budget_skip")
+            continue
+        if (
+            r.pre_visited
+            or r.url in st.visited
+            or r.pre_blocked
+            or (r.origin in st.blocked)
+        ):
+            emit(r, "dup_skip")
+            continue
+        st.visited.add(r.url)
+        if not r.robots_allowed_flag:
+            emit(r, "robots", visited=True)
+            continue
+        if r.fetch_kind == "blocked":
+            o = py_origin(r.blocked_url) if r.blocked_url else None
+            if o:
+                st.blocked.add(o)
+            emit(r, "blocked", visited=True, blocked=o)
+            continue
+        if r.fetch_kind != "ok":
+            emit(r, "failed", visited=True)
+            continue
+        st.visited.add(r.final_url)
+        if r.final_is_trap:
+            emit(r, "final_trap", visited=True, final=True)
+            continue
+        st.crawled += 1
+        emit(
+            r, "crawled", visited=True, final=True,
+            crawled_flag=True, indexed_flag=bool(r.has_chunks),
+        )
+    return pd.DataFrame(out, columns=[f.name for f in FOLD_OUT_SCHEMA.fields])
+
+
 def gate_fold(control: DataFrame) -> DataFrame:
-    """Apply the sequential gate semantics per request over control columns."""
+    """Apply the sequential gate semantics per request over control columns.
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
-        fast = _fold_vectorized(pdf)
-        if fast is not None:
-            return fast
-        max_pages = int(pdf["max_pages"].iloc[0])
-        max_depth = int(pdf["max_depth"].iloc[0])
-        crawled = int(pdf["crawled_so_far"].iloc[0])
-        visited_new: set[str] = set()
-        blocked_new: set[str] = set()
-        out = []
+    Streaming layout (memory contract): rows are hash-partitioned by
+    request_id and sorted by (request_id, seq) within the partition, then
+    folded through ``mapInPandas`` — one Arrow batch resident at a time
+    (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds it), with only
+    the per-request counters + new-visited/blocked string sets carried
+    across batches. A 10^8-row request therefore never materializes as one
+    pandas frame (the round-1 gate-fold residency hazard). Hazard-free
+    segments take the numpy fast path; segments containing a 403, a
+    redirect/url collision, or a budget crossing run the exact loop.
+    """
 
-        def emit(r, outcome, visited=False, final=False, blocked=None,
-                 crawled_flag=False, indexed_flag=False):
-            out.append(
-                (r.request_id, r.seq, r.url, r.depth, outcome,
-                 r.final_url if final else None, visited, final, blocked,
-                 crawled_flag, indexed_flag)
-            )
+    def fold_stream(batches):
+        states: dict[int, _ReqState] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for rid, seg in pdf.groupby("request_id", sort=False):
+                st = states.get(rid)
+                if st is None:
+                    st = states[rid] = _ReqState(seg)
+                fast = _fold_segment_vectorized(seg, st)
+                yield fast if fast is not None else _fold_segment_loop(seg, st)
 
-        for r in pdf.itertuples(index=False):
-            if crawled >= max_pages or r.depth > max_depth:
-                emit(r, "depth_skip" if r.depth > max_depth else "budget_skip")
-                continue
-            if (
-                r.pre_visited
-                or r.url in visited_new
-                or r.pre_blocked
-                or (r.origin in blocked_new)
-            ):
-                emit(r, "dup_skip")
-                continue
-            visited_new.add(r.url)
-            if not r.robots_allowed_flag:
-                emit(r, "robots", visited=True)
-                continue
-            if r.fetch_kind == "blocked":
-                from ..functions.url import py_origin
-
-                o = py_origin(r.blocked_url) if r.blocked_url else None
-                if o:
-                    blocked_new.add(o)
-                emit(r, "blocked", visited=True, blocked=o)
-                continue
-            if r.fetch_kind != "ok":
-                emit(r, "failed", visited=True)
-                continue
-            visited_new.add(r.final_url)
-            if r.final_is_trap:
-                emit(r, "final_trap", visited=True, final=True)
-                continue
-            crawled += 1
-            emit(
-                r, "crawled", visited=True, final=True,
-                crawled_flag=True, indexed_flag=bool(r.has_chunks),
-            )
-        return pd.DataFrame(out, columns=[f.name for f in FOLD_OUT_SCHEMA.fields])
-
-    return control.select(*FOLD_IN_COLS).groupBy("request_id").applyInPandas(
-        fold, FOLD_OUT_SCHEMA
+    return (
+        control.select(*FOLD_IN_COLS)
+        .repartition("request_id")
+        .sortWithinPartitions("request_id", "seq")
+        .mapInPandas(fold_stream, FOLD_OUT_SCHEMA)
     )
 
 
