@@ -251,6 +251,7 @@ def admit_links(
     requests_dim: DataFrame,
     spark,
     bloom=None,
+    broadcast_ctl: bool = False,
 ) -> DataFrame:
     """New-link admission for one round -> (request_id, url, host, depth,
     parent_seq, link_idx) candidates in reference enqueue order.
@@ -300,13 +301,20 @@ def admit_links(
     )
 
     # --- time-sensitive queued/visited checks (see module docstring) -------
-    # a(t): the admitted row with this url, if any (urls unique per request)
+    # a(t): the admitted row with this url, if any (urls unique per request).
+    # broadcast_ctl: the round's fold output is politeness-bounded, so these
+    # two narrow control builds broadcast straight off the fold cache (no
+    # shuffle on either side) and the much larger exploded-link side never
+    # shuffles for them. (A merged single-relation variant needs a pre-
+    # aggregation shuffle of the union — measured slower than two builds.)
     admitted = fold_out.select(
         F.col("request_id").alias("__a_rid"),
         F.col("url").alias("__a_url"),
         F.col("seq").alias("__a_seq"),
         F.col("visited_mark").alias("__a_visited"),
     )
+    if broadcast_ctl:
+        admitted = F.broadcast(admitted)
     links = links.join(
         admitted,
         (F.col("request_id") == F.col("__a_rid")) & (F.col("url") == F.col("__a_url")),
@@ -323,6 +331,8 @@ def admit_links(
             "__m_seq",
         )
     )
+    if broadcast_ctl:
+        finals = F.broadcast(finals)
     links = links.join(
         finals,
         (F.col("request_id") == F.col("__m_rid")) & (F.col("url") == F.col("__m_url")),

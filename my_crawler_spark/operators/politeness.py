@@ -99,14 +99,24 @@ def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
     )
 
 
-def robots_gate(rows: DataFrame, robots_dim: DataFrame) -> DataFrame:
-    """Adds ``robots_allowed_flag`` via per-origin applyInPandas batches.
+def robots_gate(rows: DataFrame, robots_dim: DataFrame, salt: int = 8) -> DataFrame:
+    """Adds ``robots_allowed_flag`` via per-(origin, salt) applyInPandas
+    batches.
 
     rows:       must carry (origin, url) (+ anything else, passed through)
     robots_dim: (origin, entry_body:string nullable, allow_all:boolean) —
                 the cache-policy-resolved robots table (robots.rs:100-134).
     Origins with no robots row behave as 404 allow-all (robots.rs:108-114).
+
+    Matching is per-row independent — only the body parse is per-group — so
+    the group key is salted by a url hash: a web of H origins fans out to
+    H*salt tasks instead of H (the body is re-parsed salt times per origin,
+    which is noise next to shipping it once per group). Pass salt=1 for the
+    unsalted layout.
     """
+    if salt > 1:
+        rows = rows.withColumn("__rsalt", F.pmod(F.xxhash64("url"), F.lit(salt)))
+    group_keys = ["origin", "__rsalt"] if salt > 1 else ["origin"]
     out_schema = StructType(rows.schema.fields + [StructField("robots_allowed_flag", BooleanType())])
 
     def check(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -144,7 +154,8 @@ def robots_gate(rows: DataFrame, robots_dim: DataFrame) -> DataFrame:
         "origin",
         "left",
     )
-    return joined.groupBy("origin").applyInPandas(check, out_schema)
+    out = joined.groupBy(*group_keys).applyInPandas(check, out_schema)
+    return out.drop("__rsalt") if salt > 1 else out
 
 
 def py_robots_policy_allowed(entry_body: str | None, allow_all: bool, url: str) -> bool:

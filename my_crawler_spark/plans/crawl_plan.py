@@ -144,7 +144,16 @@ class CrawlRunner:
         bloom_min_rows: int = 5000,
         host_buckets: int = 32,
         skew_salt: int | None = None,
+        broadcast_round_ctl: bool = True,
     ):
+        # broadcast_round_ctl: the per-round crawled-row id set
+        # (request_id, seq) is politeness-bounded (tokens_per_round x active
+        # hosts), so broadcasting it into the chunk/link joins lets the heavy
+        # cached sides (extracted pages, outlink arrays) stay in place
+        # instead of shuffling multi-GB rows. Right up to ~10^8-row rounds
+        # (~2 GB broadcast); set False beyond that to fall back to shuffle
+        # joins on (request_id, seq).
+        self.broadcast_round_ctl = broadcast_round_ctl
         self.bloom_min_rows = bloom_min_rows
         self.skew_salt = skew_salt
         self.spark = spark
@@ -326,6 +335,48 @@ class CrawlRunner:
             self.spark.createDataFrame([(request_id, 0, n)], STATE_SCHEMA)
         )
 
+    def seed_frontier_bulk_many(
+        self, requests: list[tuple[int, str, int, int, bool]], urls: DataFrame
+    ) -> None:
+        """Bulk-inject seed frontiers for MANY requests in one pass: three
+        commits total instead of three per request (the per-request loop's
+        fixed job latency dominates large-fleet setup).
+
+        requests: [(request_id, seed_url, max_pages, max_depth, same_domain)]
+        urls:     (request_id, url) covering every request's seed frontier.
+        """
+        from pyspark.sql import Window
+
+        rows = (
+            urls.select("request_id", "url")
+            .distinct()  # frontier invariant: unique (request_id, url)
+            .withColumn("host", url_host(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn(
+                "seq",
+                F.row_number()
+                .over(Window.partitionBy("request_id").orderBy("url"))
+                .cast("long"),
+            )
+            .select(*[f.name for f in FRONTIER_SCHEMA])
+            .persist()
+        )
+        try:
+            self.t_frontier.commit(rows, mode="append")
+            state = rows.groupBy("request_id").agg(F.max("seq").alias("max_seq")).select(
+                "request_id",
+                F.lit(0).cast("long").alias("crawled_so_far"),
+                F.col("max_seq"),
+            )
+            self.t_state.commit(state, mode="append")
+        finally:
+            rows.unpersist()
+        req_rows = [
+            (int(rid), seed, py_origin(seed), int(mp), int(md), bool(sd))
+            for rid, seed, mp, md, sd in requests
+        ]
+        self.t_requests.commit(self.spark.createDataFrame(req_rows, REQUESTS_SCHEMA))
+
     # ------------------------------------------------------------------ round
     def run_round(self, round_no: int) -> int:
         """One BSP superstep. Returns number of frontier rows remaining."""
@@ -398,20 +449,35 @@ class CrawlRunner:
             )
 
             # robots gate, then fetch+extract only what passed every pre-gate
-            to_check = admitted.filter("fetchable")
+            # (narrow projection: the gate ships only control columns through
+            # Arrow, not the full frontier row)
+            to_check = admitted.filter("fetchable").select(
+                "request_id", "seq", "url", "origin", "depth"
+            )
             checked = robots_gate(to_check, self.robots_dim)
             to_fetch = checked.filter("robots_allowed_flag").select(
                 "request_id", "seq", "url", "depth"
             )
+            # cache only the columns the round actually re-reads: the fetch
+            # result keeps control cols + outlinks; the extract result keeps
+            # just (ids, chunks). The decode stage itself sees only
+            # (ids, final_url, image_id) — outlink arrays never ride through
+            # the Arrow decode round trip.
             fetched = fetch_join(
                 to_fetch, self.pages, self.redirects, has_redirects=self.has_redirects,
                 cache_registry=hop_caches,
+            ).select(
+                "request_id", "seq", "fetch_kind", "final_url", "blocked_url",
+                "outlinks", "image_id",
             ).cache()
             round_caches.append(fetched)
             extracted = extract_pages(
-                fetched.filter(F.col("fetch_kind") == "ok"), self.images,
+                fetched.filter(F.col("fetch_kind") == "ok").select(
+                    "request_id", "seq", "final_url", "image_id"
+                ),
+                self.images,
                 skew_salt=self.skew_salt,
-            ).cache()
+            ).select("request_id", "seq", "chunks").cache()
             round_caches.append(extracted)
 
             # assemble control rows for the fold
@@ -502,32 +568,57 @@ class CrawlRunner:
                 .select(*[f.name for f in METRICS_SCHEMA])
             )
             crawled_rows = fold_out.filter(F.col("outcome") == "crawled")
+            crawled_ids = crawled_rows.select("request_id", "seq")
+            if self.broadcast_round_ctl:
+                crawled_ids = F.broadcast(crawled_ids)
 
             def job_chunks():
+                import time as _t
+
+                t0 = _t.time()
+                # broadcast id-join: the heavy extracted rows (chunk text)
+                # never shuffle. No persist: the upsert's versions branch
+                # prunes down to (source_url, page_version), so recomputing
+                # it skips the embedding UDF entirely.
                 chunks = explode_chunks(
-                    extracted.join(
-                        crawled_rows.select("request_id", "seq"), ["request_id", "seq"]
+                    extracted.join(crawled_ids, ["request_id", "seq"])
+                ).select(*[f.name for f in CHUNKS_SCHEMA])
+                snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
+                if _profile:
+                    print(
+                        f"[round {round_no}] commit chunks: {_t.time() - t0:.2f}s"
+                        f" ({self.t_chunks.last_rows} rows)",
+                        flush=True,
                     )
-                ).select(*[f.name for f in CHUNKS_SCHEMA]).persist()
-                try:
-                    snap = upsert_chunks_with_stale_delete(self.t_chunks, chunks)
-                finally:
-                    chunks.unpersist()
                 self._lineage(round_no, "chunks", snap, self.t_chunks.last_rows)
 
             # the link/frontier pipeline needs only fold_out + round-start seen,
             # so it overlaps with the table commits in the same pool
             def job_frontier():
+                import time as _t
+
                 bloom = None
                 if self.use_bloom and seen_rows >= self.bloom_min_rows:
                     # below the threshold a plain anti-join beats two extra jobs
+                    t0 = _t.time()
                     bloom = bloom_mod.build_bloom(seen, "url", expected_n=seen_rows)
-                link_parents = crawled_rows.select("request_id", "seq", "depth").join(
-                    fetch_ctl.select("request_id", "seq", "outlinks"),
-                    ["request_id", "seq"],
+                    if _profile:
+                        print(
+                            f"[round {round_no}] bloom build: {_t.time() - t0:.2f}s"
+                            f" ({seen_rows} keys)",
+                            flush=True,
+                        )
+                # broadcast the narrow crawled ids; the outlink arrays (the
+                # heavy side, from the fetched cache) stay un-shuffled
+                lp = crawled_rows.select("request_id", "seq", "depth")
+                if self.broadcast_round_ctl:
+                    lp = F.broadcast(lp)
+                link_parents = fetch_ctl.select("request_id", "seq", "outlinks").join(
+                    lp, ["request_id", "seq"]
                 )
                 new_links = admit_links(
-                    link_parents, fold_out, deferred, seen, requests, spark, bloom
+                    link_parents, fold_out, deferred, seen, requests, spark, bloom,
+                    broadcast_ctl=self.broadcast_round_ctl,
                 )
                 seq_base = state.select("request_id", "max_seq")
                 # cached: reused for the frontier write AND the max_seq update
@@ -610,7 +701,17 @@ class CrawlRunner:
     # ------------------------------------------------------------------ misc
     def _commit(self, round_no, name, table, df, mode="append"):
         # one Spark action (the write); row count from the parquet footers
+        import os as _os
+        import time as _t
+
+        t0 = _t.time()
         snap = table.commit(df, mode=mode)
+        if _os.environ.get("SPARK_GRAFT_PROFILE") == "1":
+            print(
+                f"[round {round_no}] commit {name}: {_t.time() - t0:.2f}s"
+                f" ({table.last_rows} rows)",
+                flush=True,
+            )
         self._lineage(round_no, name, snap, table.last_rows)
 
     def _lineage(self, round_no, name, snap, n):
