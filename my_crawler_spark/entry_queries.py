@@ -901,6 +901,9 @@ def q_crawl_bsp(spark, sf_dir) -> DataFrame:
         robots_pdf=fx["robots"],
         sitemaps_pdf=fx["sitemaps"],
         budgets=spark.createDataFrame(fx["politeness_budget"]),
+        rendered=(
+            spark.createDataFrame(fx["rendered"]) if len(fx["rendered"]) else None
+        ),
         use_bloom=False,
     )
     runner.admit_requests(fx["seeds"].head(2))

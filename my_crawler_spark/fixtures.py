@@ -178,13 +178,26 @@ def make_web(
         & ~df.url.str.endswith(("p0", "p1"))
         & ~df.host.isin([_host(0), _host(1)])
     ]
-    if len(plain) >= 8 and len(away) >= 2:
+    # static body snippets (S3): the needs_browser heuristic runs on these
+    # inside the fetch join; SPA victims get an app-root shell
+    df["body_html"] = "<p>static content</p>"
+    spa_with_render = spa_without_render = None
+    if len(plain) >= 10 and len(away) >= 2:
         _force(away[0], status=403)  # blocked-origin path, off the seed hosts
         _force(plain[3], status=301)
         _force(away[1], status=503, flaky_fail_times=4)
         _force(plain[5], status=503, flaky_fail_times=1)
         _force(plain[6], content_type="application/pdf")
         _force(plain[7], body_len=6 * 1024 * 1024)
+        # SPA pages (crawl_loop.rs:208-221): thin static shell, no static
+        # content; plain[8] recovers via the browser (rendered row exists),
+        # plain[9]'s browser fetch fails (no rendered row -> stays thin)
+        spa_with_render, spa_without_render = plain[8], plain[9]
+        for idx in (spa_with_render, spa_without_render):
+            _force(idx, status=200, content_type="text/html", flaky_fail_times=0,
+                   body_len=2_000, body_html='<div id="app"></div>')
+        df["__spa_image_id"] = df["image_id"]
+        df.loc[[spa_with_render, spa_without_render], "image_id"] = None
     # seeds must resolve: force the seed URLs healthy
     seeds_idx = df.index[df.url.str.endswith(("/a0/p0", "/a0/p1"))]
     _force(seeds_idx, status=200, content_type="text/html", flaky_fail_times=0,
@@ -256,6 +269,39 @@ def make_web(
             ls.append("javascript:void(0)")
         outlinks.append(ls)
     df["outlinks"] = outlinks
+
+    # rendered table (S3): what the headless browser sees. Rows exist for
+    # (a) the recoverable SPA victim and (b) every page of h5 — request 6
+    # crawls h5 with use_browser=True, where ALL fetches go through this
+    # table (web_visitor_browser.rs:77-153). The thin-SPA victim without a
+    # rendered row models a browser-fetch failure (static shell kept,
+    # crawl_loop.rs:208-221).
+    if "__spa_image_id" not in df.columns:
+        df["__spa_image_id"] = df["image_id"]
+    df["body_html"] = df["body_html"].fillna("<p>static content</p>")  # chain rows
+    rendered_rows = []
+    no_render_url = (
+        df.loc[spa_without_render, "url"] if spa_without_render is not None else None
+    )
+    for _, row in df[df.host == _host(5)].iterrows():
+        if row.url == no_render_url:
+            continue  # the browser-failure victim has no rendered row anywhere
+        rendered_rows.append(
+            {"url": row.url, "image_id": row["__spa_image_id"],
+             "outlinks": list(row.outlinks)}
+        )
+    if spa_with_render is not None:
+        r = df.loc[spa_with_render]
+        rendered_rows.append(
+            {"url": r.url, "image_id": r["__spa_image_id"],
+             "outlinks": list(r.outlinks)}
+        )
+        for idx in (spa_with_render, spa_without_render):
+            df.at[idx, "outlinks"] = []  # static SPA shell links to nothing
+    rendered = pd.DataFrame(
+        rendered_rows, columns=["url", "image_id", "outlinks"]
+    ).drop_duplicates(subset=["url"], keep="last")
+    df = df.drop(columns=["__spa_image_id"])
 
     # robots per origin: h0,h1 disallow /private/; h2 -> 404 allow-all;
     # h3 -> 500 disallow-on-failure; rest -> allow-all body. h0 declares a
@@ -332,8 +378,14 @@ def make_web(
              "max_depth": 10, "same_domain": False},
             {"request_id": 4, "url": f"https://{_host(3)}/a0/p1", "max_pages": 5,
              "max_depth": 10, "same_domain": True},
+            # S3: browser-mode request — every fetch resolves via the
+            # rendered table (web_visitor_browser.rs; crawl_loop.rs:167-176)
+            {"request_id": 6, "url": f"https://{_host(5)}/a0/p0", "max_pages": 12,
+             "max_depth": 10, "same_domain": True, "use_browser": True},
         ]
     )
+    seeds_df["use_browser"] = seeds_df.get("use_browser", False)
+    seeds_df["use_browser"] = seeds_df["use_browser"].fillna(False).astype(bool)
 
     budgets = pd.DataFrame(
         {"host": [_host(k) for k in range(n_hosts)],
@@ -346,6 +398,7 @@ def make_web(
     return {
         "pages": df.drop(columns=["pid"]),
         "redirects": pd.DataFrame(redirect_rows),
+        "rendered": rendered,
         "robots": robots,
         "sitemaps": sitemaps,
         "seeds": seeds_df,

@@ -176,8 +176,9 @@ def embed_text(title: str, heading: str | None, content: str) -> str:
 
 def needs_browser(html: str) -> bool:
     """SPA heuristic (crawl_loop.rs:274-284): empty page, or an app-root
-    marker without any <p>/<article>. Out of the synthetic-fetch path (no JS
-    rendering here) but part of the reference's decision surface."""
+    marker without any <p>/<article>. Drives the browser-fallback fetch
+    path (S3); ``needs_browser_expr`` is the JVM-side twin used inside
+    the fetch join."""
     if not html.strip():
         return True
     lower = html.lower()
@@ -188,3 +189,20 @@ def needs_browser(html: str) -> bool:
         or "data-reactroot" in lower
     )
     return has_app_root and "<p" not in lower and "<article" not in lower
+
+
+def needs_browser_expr(body_col):
+    """Native-column twin of ``needs_browser`` — stays in codegen inside
+    the fetch join (no Python on the hot path)."""
+    from pyspark.sql import functions as F
+
+    lower = F.lower(F.coalesce(body_col, F.lit("")))
+
+    def has(s: str):
+        return F.instr(lower, s) > 0
+
+    empty = F.trim(lower) == ""
+    has_root = (
+        has('id="app"') | has('id="root"') | has("__next_data__") | has("data-reactroot")
+    )
+    return empty | (has_root & ~has("<p") & ~has("<article"))

@@ -109,18 +109,79 @@ def _classify(hop: DataFrame) -> DataFrame:
     )
 
 
+def _rendered_cols(rendered: DataFrame):
+    return rendered.select(
+        F.col("url").alias("__r_url"),
+        F.col("image_id").alias("__r_img"),
+        F.col("outlinks").alias("__r_links"),
+    )
+
+
+def _browser_fetch(frontier: DataFrame, rendered: DataFrame | None) -> DataFrame:
+    """S3 browser-mode fetch (web_visitor_browser.rs:77-153,
+    crawl_loop.rs:167-176): every URL resolves through the rendered table —
+    no redirect following, no status/content-type semantics (the headless
+    browser returns whatever the page renders to); a missing rendered row
+    is a browser failure. final_url is the requested url."""
+    if rendered is None:
+        return (
+            frontier.withColumn("fetch_kind", F.lit("failed"))
+            .withColumn("final_url", F.lit(None).cast("string"))
+            .withColumn("image_id", F.lit(None).cast("string"))
+            .withColumn("outlinks", F.lit(None).cast("array<string>"))
+            .withColumn("blocked_url", F.lit(None).cast("string"))
+            .withColumn("fetch_error", F.lit("browser"))
+        )
+    ok = F.col("__r_url").isNotNull()
+    return (
+        frontier.join(
+            F.broadcast(_rendered_cols(rendered)),
+            frontier["url"] == F.col("__r_url"),
+            "left",
+        )
+        .withColumn("fetch_kind", F.when(ok, F.lit("ok")).otherwise(F.lit("failed")))
+        .withColumn("final_url", F.when(ok, F.col("url")))
+        .withColumn("image_id", F.col("__r_img"))
+        .withColumn("outlinks", F.col("__r_links"))
+        .withColumn("blocked_url", F.lit(None).cast("string"))
+        .withColumn("fetch_error", F.when(~ok, F.lit("browser")))
+        .drop("__r_url", "__r_img", "__r_links")
+    )
+
+
 def fetch_join(
     frontier: DataFrame, pages: DataFrame, redirects: DataFrame,
     has_redirects: bool = True,
     cache_registry: list | None = None,
+    rendered: DataFrame | None = None,
 ) -> DataFrame:
-    """frontier(request_id, seq, url, ...) -> + fetch result columns.
+    """frontier(request_id, seq, url[, use_browser], ...) -> + fetch result
+    columns.
 
     Scale notes: the first join is the big one — pages should be bucketed
     by url so it's a co-located shuffle-hash join; redirect iterations only
     carry the (tiny) still-redirecting subset. AQE handles the skewed-host
-    fan-in on the pages side.
+    fan-in on the pages side. The rendered dim (S3) is a small broadcast.
+
+    Browser semantics (S3): rows with use_browser=true resolve entirely via
+    ``rendered`` (_browser_fetch); plain rows whose final page trips the
+    needs_browser heuristic (computed JVM-side from body_html) get their
+    content overridden by their rendered row when one exists — a failed
+    browser fallback keeps the static shell (crawl_loop.rs:208-221).
     """
+    browser_part = None
+    if "use_browser" in frontier.columns:
+        browser_rows = frontier.filter(F.col("use_browser")).drop("use_browser")
+        frontier = frontier.filter(~F.col("use_browser")).drop("use_browser")
+        browser_part = _browser_fetch(browser_rows, rendered)
+
+    fallback = rendered is not None and "body_html" in pages.columns
+    if fallback:
+        from ..functions.text import needs_browser_expr
+
+        needs = needs_browser_expr(F.col("body_html")).alias("__needs_browser")
+    else:
+        needs = F.lit(False).alias("__needs_browser")
     pages_cols = pages.select(
         F.col("url").alias("cur_url"),
         "status",
@@ -129,10 +190,34 @@ def fetch_join(
         "body_len",
         "image_id",
         "outlinks",
+        needs,
     )
     red = redirects.select(
         F.col("src_url").alias("cur_url"), F.col("dst_url").alias("__next_url")
     )
+
+    def finish(out: DataFrame) -> DataFrame:
+        """Common tail: browser fallback override for needs_browser finals,
+        then splice in the browser-mode rows."""
+        if fallback:
+            override_src = F.broadcast(_rendered_cols(rendered))
+            out = out.join(override_src, out["final_url"] == F.col("__r_url"), "left")
+            hit = F.col("__needs_browser") & F.col("__r_url").isNotNull()
+            out = (
+                out.withColumn(
+                    "image_id",
+                    F.when(hit, F.col("__r_img")).otherwise(F.col("image_id")),
+                )
+                .withColumn(
+                    "outlinks",
+                    F.when(hit, F.col("__r_links")).otherwise(F.col("outlinks")),
+                )
+                .drop("__r_url", "__r_img", "__r_links")
+            )
+        out = out.drop("__needs_browser")
+        if browser_part is not None:
+            out = out.unionByName(browser_part, allowMissingColumns=True)
+        return out
 
     work = frontier.withColumn("cur_url", F.col("url"))
     if not has_redirects:
@@ -140,7 +225,7 @@ def fetch_join(
         joined = _classify(work.join(pages_cols, "cur_url", "left")).withColumn(
             "__was_redirect", F.col("fetch_kind") == "redirect"
         )
-        return (
+        return finish(
             joined.withColumn(
                 "fetch_kind",
                 F.when(F.col("__was_redirect"), F.lit("failed")).otherwise(
@@ -197,7 +282,7 @@ def fetch_join(
         # follow the edge; a missing edge is a Redirect error too
         stepped = redirecting.drop(
             "status", "content_type", "flaky_fail_times", "body_len", "image_id",
-            "outlinks", "fetch_kind", "fetch_error",
+            "outlinks", "fetch_kind", "fetch_error", "__needs_browser",
         ).join(red, "cur_url", "left")
         dead = stepped.filter(F.col("__next_url").isNull()).drop("__next_url")
         resolved_parts.append(
@@ -225,4 +310,6 @@ def fetch_join(
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
         out = out.unionByName(part, allowMissingColumns=True)
-    return out.drop("cur_url", "status", "content_type", "flaky_fail_times", "body_len")
+    return finish(
+        out.drop("cur_url", "status", "content_type", "flaky_fail_times", "body_len")
+    )

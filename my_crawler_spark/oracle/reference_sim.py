@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 import pandas as pd
 
 from ..functions.robots import origin_allowed, policy_for_status, robots_sitemaps
-from ..functions.text import extract_caption_page
+from ..functions.text import extract_caption_page, needs_browser
 from ..functions.url import (
     py_canonicalize_url,
     py_is_crawl_trap,
@@ -56,6 +56,7 @@ class FetchOutcome:
     outlinks: list[str] = field(default_factory=list)
     blocked_url: str | None = None
     error: str | None = None
+    needs_browser: bool = False
 
 
 class SyntheticWeb:
@@ -69,6 +70,22 @@ class SyntheticWeb:
         for r in fx["sitemaps"].itertuples():
             self.sitemaps.setdefault(r.sitemap_url, []).append(r)
         self.captions = dict(zip(fx["images"].image_id, fx["images"].caption))
+        rend = fx.get("rendered")
+        self.rendered = (
+            {} if rend is None else {r.url: r for r in rend.itertuples()}
+        )
+
+    def browser_fetch(self, url: str) -> FetchOutcome:
+        """Browser-mode fetch (web_visitor_browser.rs:77-153): the rendered
+        table IS the browser's view — no redirects, no status semantics;
+        a missing row is a browser failure (mapped to an error like
+        crawl_loop.rs:175)."""
+        row = self.rendered.get(url)
+        if row is None:
+            return FetchOutcome("failed", error="browser")
+        return FetchOutcome(
+            "ok", final_url=url, image_id=row.image_id, outlinks=list(row.outlinks)
+        )
 
     def fetch(self, url: str) -> FetchOutcome:
         """fetch_html semantics (web_visitor.rs:138-252) on the fixture web."""
@@ -96,7 +113,11 @@ class SyntheticWeb:
             if row.body_len > MAX_HTML_BYTES:
                 return FetchOutcome("failed", error="body_too_large")
             return FetchOutcome(
-                "ok", final_url=cur, image_id=row.image_id, outlinks=list(row.outlinks)
+                "ok", final_url=cur, image_id=row.image_id,
+                outlinks=list(row.outlinks),
+                needs_browser=needs_browser(
+                    getattr(row, "body_html", "<p>static content</p>") or ""
+                ),
             )
 
 
@@ -182,6 +203,7 @@ def crawl_request_sim(
     max_pages: int,
     max_depth: int = 10,
     same_domain: bool = True,
+    use_browser: bool = False,
     product_token: str = "my_crawler",
 ) -> CrawlResult | None:
     """Replay crawl_request (crawl_loop.rs:106-256). None = seed rejected
@@ -226,7 +248,7 @@ def crawl_request_sim(
             m["skipped_robots"] += 1
             visit_order.append(dict(url=url, depth=depth, outcome="robots"))
             continue
-        outcome = web.fetch(url)
+        outcome = web.browser_fetch(url) if use_browser else web.fetch(url)
         if outcome.kind == "blocked":
             m["blocked"] += 1
             o = py_origin(outcome.blocked_url)
@@ -242,6 +264,14 @@ def crawl_request_sim(
         if py_is_crawl_trap(outcome.final_url):
             visit_order.append(dict(url=url, depth=depth, outcome="final_trap"))
             continue
+        if not use_browser and outcome.needs_browser:
+            # SPA fallback (crawl_loop.rs:208-221): replace the content with
+            # the browser's view when the render succeeds; keep the static
+            # shell when it does not
+            r = web.rendered.get(outcome.final_url)
+            if r is not None:
+                outcome.image_id = r.image_id
+                outcome.outlinks = list(r.outlinks)
         caption = web.captions.get(outcome.image_id, "")
         extracted = extract_caption_page(outcome.final_url, caption)
         m["crawled"] += 1

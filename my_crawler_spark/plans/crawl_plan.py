@@ -125,6 +125,7 @@ REQUESTS_SCHEMA = T.StructType(
         T.StructField("max_pages", T.IntegerType()),
         T.StructField("max_depth", T.IntegerType()),
         T.StructField("same_domain", T.BooleanType()),
+        T.StructField("use_browser", T.BooleanType()),
     ]
 )
 
@@ -140,6 +141,7 @@ class CrawlRunner:
         robots_pdf: pd.DataFrame,
         sitemaps_pdf: pd.DataFrame,
         budgets: DataFrame,
+        rendered: DataFrame | None = None,
         use_bloom: bool = True,
         bloom_min_rows: int = 5000,
         host_buckets: int = 32,
@@ -176,6 +178,7 @@ class CrawlRunner:
             self.page_cost = None
         self.redirects = redirects
         self.has_redirects = not redirects.isEmpty()
+        self.rendered = rendered  # S3 browser-view dim; None = no browser web
         self.images = images
         self.budgets = budgets
         self.use_bloom = use_bloom
@@ -281,7 +284,8 @@ class CrawlRunner:
             origin = py_origin(seed)
             req_rows.append(
                 (int(s.request_id), seed, origin, int(s.max_pages),
-                 int(s.max_depth), bool(s.same_domain))
+                 int(s.max_depth), bool(s.same_domain),
+                 bool(getattr(s, "use_browser", False)))
             )
             seq = 1
             frontier_rows.append((int(s.request_id), seed, _host_of(seed), 0, seq))
@@ -326,7 +330,7 @@ class CrawlRunner:
         self.t_requests.commit(
             self.spark.createDataFrame(
                 [(request_id, first_url, py_origin(first_url), max_pages,
-                  max_depth, same_domain)],
+                  max_depth, same_domain, False)],
                 REQUESTS_SCHEMA,
             )
         )
@@ -372,7 +376,7 @@ class CrawlRunner:
         finally:
             rows.unpersist()
         req_rows = [
-            (int(rid), seed, py_origin(seed), int(mp), int(md), bool(sd))
+            (int(rid), seed, py_origin(seed), int(mp), int(md), bool(sd), False)
             for rid, seed, mp, md, sd in requests
         ]
         self.t_requests.commit(self.spark.createDataFrame(req_rows, REQUESTS_SCHEMA))
@@ -457,7 +461,11 @@ class CrawlRunner:
             checked = robots_gate(to_check, self.robots_dim)
             to_fetch = checked.filter("robots_allowed_flag").select(
                 "request_id", "seq", "url", "depth"
-            )
+            ).join(
+                F.broadcast(requests.select("request_id", "use_browser")),
+                "request_id",
+                "left",
+            ).withColumn("use_browser", F.coalesce("use_browser", F.lit(False)))
             # cache only the columns the round actually re-reads: the fetch
             # result keeps control cols + outlinks; the extract result keeps
             # just (ids, chunks). The decode stage itself sees only
@@ -465,7 +473,7 @@ class CrawlRunner:
             # the Arrow decode round trip.
             fetched = fetch_join(
                 to_fetch, self.pages, self.redirects, has_redirects=self.has_redirects,
-                cache_registry=hop_caches,
+                cache_registry=hop_caches, rendered=self.rendered,
             ).select(
                 "request_id", "seq", "fetch_kind", "final_url", "blocked_url",
                 "outlinks", "image_id",

@@ -12,6 +12,7 @@ from my_crawler_spark.plans.crawl_plan import CrawlRunner
 
 
 def make_runner(spark, fixtures, workdir, **kw) -> CrawlRunner:
+    rendered = fixtures.get("rendered")
     return CrawlRunner(
         spark,
         str(workdir),
@@ -21,6 +22,11 @@ def make_runner(spark, fixtures, workdir, **kw) -> CrawlRunner:
         robots_pdf=fixtures["robots"],
         sitemaps_pdf=fixtures["sitemaps"],
         budgets=spark.createDataFrame(fixtures["politeness_budget"]),
+        rendered=(
+            spark.createDataFrame(rendered)
+            if rendered is not None and len(rendered)
+            else None
+        ),
         **kw,
     )
 
@@ -30,7 +36,8 @@ def oracle_results(fixtures):
     out = {}
     for s in fixtures["seeds"].itertuples():
         res = crawl_request_sim(
-            web, s.request_id, s.url, s.max_pages, s.max_depth, s.same_domain
+            web, s.request_id, s.url, s.max_pages, s.max_depth, s.same_domain,
+            use_browser=bool(getattr(s, "use_browser", False)),
         )
         if res is not None:
             out[s.request_id] = res
@@ -242,3 +249,33 @@ def test_retry_tokens_delay_host_pacing(spark, tmp_path):
     assert rounds_fast == {"p0": 1, "p1": 2, "p2": 2, "p3": 2, "p4": 2}
     # slow web: p1's 11-token cost exhausts round 2; p2..p4 slip to round 3
     assert rounds_slow == {"p0": 1, "p1": 2, "p2": 3, "p3": 3, "p4": 3}
+
+
+def test_browser_fetch_and_spa_fallback(crawl, fixtures):
+    """S3: (a) the browser-mode request (use_browser=True) crawls via the
+    rendered table; (b) a SPA page with a rendered row recovers content
+    (indexed chunks exist for it); (c) a SPA page without a rendered row
+    crawls but yields no chunks (failed browser fallback keeps the thin
+    static shell)."""
+    runner, _ = crawl
+    pages = fixtures["pages"]
+    spa = pages[pages.body_html.str.contains('id="app"', regex=False)]
+    assert len(spa) == 2, "fixture should carry both SPA victims"
+    rendered_urls = set(fixtures["rendered"].url)
+    with_render = [u for u in spa.url if u in rendered_urls]
+    without_render = [u for u in spa.url if u not in rendered_urls]
+    assert len(with_render) == 1 and len(without_render) == 1
+
+    visits = runner.t_visits.read().collect()
+    chunks_by_url = {
+        r.source_url for r in runner.t_chunks.read().select("source_url").collect()
+    }
+    crawled_urls = {r.url for r in visits if r.outcome == "crawled"}
+    # browser-mode request 6 crawled pages on h5 via rendered
+    req6 = [r for r in visits if r.request_id == 6]
+    assert any(r.outcome == "crawled" for r in req6)
+    # recovered SPA page indexed iff it was crawled by some request
+    if with_render[0] in crawled_urls:
+        assert with_render[0] in chunks_by_url
+    if without_render[0] in crawled_urls:
+        assert without_render[0] not in chunks_by_url
