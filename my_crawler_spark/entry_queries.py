@@ -1272,3 +1272,97 @@ QUERIES["get_page"] = q_get_page
 ORACLES["get_page"] = SQL_GET_PAGE
 QUERIES["knowledge_panel"] = q_knowledge_panel
 ORACLES["knowledge_panel"] = SQL_KNOWLEDGE_PANEL
+
+
+# --------------------------------------------------------------------------
+# S2 retry token cost (web_visitor.rs:144-184,255-271) — the per-attempt
+# politeness arithmetic as a checkable relation over synthesized retry webs
+# --------------------------------------------------------------------------
+def q_retry_cost(spark, sf_dir) -> DataFrame:
+    from .operators.fetch import retry_token_cost
+
+    o = _t(spark, sf_dir, "orders")
+    pages = o.select(
+        F.col("o_orderkey").alias("page_id"),
+        (F.col("o_orderkey") % 5).cast("int").alias("flaky_fail_times"),
+        (F.col("o_orderkey") % 13).cast("int").alias("retry_after_s"),
+    ).filter(F.col("page_id") < 2000)
+    return pages.select(
+        "page_id", "flaky_fail_times", "retry_after_s",
+        retry_token_cost(F.col("flaky_fail_times"), F.col("retry_after_s")).alias(
+            "token_cost"
+        ),
+    )
+
+
+SQL_RETRY_COST = """
+    WITH pages AS (
+      SELECT o_orderkey AS page_id,
+             CAST(o_orderkey % 5 AS INTEGER) AS flaky_fail_times,
+             CAST(o_orderkey % 13 AS INTEGER) AS retry_after_s
+      FROM orders WHERE o_orderkey < 2000),
+    costed AS (
+      SELECT *,
+             LEAST(flaky_fail_times + 1, 3) AS attempts,
+             GREATEST(1, retry_after_s) AS d0,
+             GREATEST(2, retry_after_s) AS d1
+      FROM pages)
+    SELECT page_id, flaky_fail_times, retry_after_s,
+           CAST(attempts + FLOOR(
+             CASE WHEN attempts >= 3 THEN d0 + d1
+                  WHEN attempts = 2 THEN d0
+                  ELSE 0 END / 2.0) AS BIGINT) AS token_cost
+    FROM costed
+"""
+
+QUERIES["retry_cost"] = q_retry_cost
+ORACLES["retry_cost"] = SQL_RETRY_COST
+
+
+# --------------------------------------------------------------------------
+# S5 sitemap XML parsing (sitemap.rs:88-99) — synthesize real urlset XML
+# (half of it gzipped) from documents, parse through the Arrow stage, and
+# check against the generator's inverse in SQL
+# --------------------------------------------------------------------------
+def q_sitemap_parse(spark, sf_dir) -> DataFrame:
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from .functions.sitemap import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def build(key, pdf: pd.DataFrame):
+        src = key[0]
+        sm_url = f"https://{src}.example.com/sitemap.xml"
+        items = "".join(
+            f"<url><loc>https://{src}.example.com/d/{int(i)}</loc>"
+            f"<lastmod>{(pd.Timestamp('2026-01-01') + pd.Timedelta(days=int(i))).date()}</lastmod></url>"
+            for i in sorted(pdf["doc_id"])
+        )
+        xml = (
+            '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{items}</urlset>"
+        ).encode()
+        if len(src) % 2 == 0:  # half the files arrive gzipped
+            xml = _gzip.compress(xml)
+        return pd.DataFrame({"sitemap_url": [sm_url], "body": [xml]})
+
+    raw = d.select("source", "doc_id").groupBy("source").applyInPandas(
+        build, "sitemap_url string, body binary"
+    )
+    return parse_sitemaps(raw).select("sitemap_url", "kind", "loc", "lastmod")
+
+
+SQL_SITEMAP_PARSE = """
+    SELECT 'https://' || source || '.example.com/sitemap.xml' AS sitemap_url,
+           'url' AS kind,
+           'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS loc,
+           CAST(DATE '2026-01-01' + doc_id * INTERVAL 1 DAY AS TIMESTAMP) AS lastmod
+    FROM documents WHERE doc_id < 300
+"""
+
+QUERIES["sitemap_parse"] = q_sitemap_parse
+ORACLES["sitemap_parse"] = SQL_SITEMAP_PARSE

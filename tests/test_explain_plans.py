@@ -93,3 +93,32 @@ def test_skew_salted_extract_equals_plain(spark, fixtures):
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
     assert all(r.phash_ok for r in plain)
+
+
+def test_admit_links_broadcasts_round_control(spark):
+    """With broadcast_ctl, the a(t)/M(t) probes must be BroadcastHashJoins —
+    the (politeness-bounded) fold output broadcasts and the exploded-link
+    side never shuffles for them."""
+    from my_crawler_spark.operators.frontier import FOLD_OUT_SCHEMA, admit_links
+
+    crawled = spark.createDataFrame(
+        [(1, 2, 1, ["https://h.example.com/a", "https://h.example.com/b"])],
+        "request_id long, seq long, depth int, outlinks array<string>",
+    )
+    fold_out = spark.createDataFrame(
+        [(1, 2, "https://h.example.com/x", 1, "crawled",
+          "https://h.example.com/x", True, True, None, True, True)],
+        FOLD_OUT_SCHEMA,
+    )
+    deferred = spark.createDataFrame([], "request_id long, url string, host string, depth int, seq long")
+    seen = spark.createDataFrame([], "request_id long, url string")
+    requests = spark.createDataFrame(
+        [(1, "https://h.example.com/x", "https://h.example.com", 10, 5, False)],
+        "request_id long, seed_url string, seed_origin string, max_pages int, "
+        "max_depth int, same_domain boolean",
+    )
+    out = admit_links(crawled, fold_out, deferred, seen, requests, spark,
+                      bloom=None, broadcast_ctl=True)
+    plan = explain_str(out)
+    # requests dim + a(t) + M(t) probes — at least three broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3, plan

@@ -279,3 +279,39 @@ def test_browser_fetch_and_spa_fallback(crawl, fixtures):
         assert with_render[0] in chunks_by_url
     if without_render[0] in crawled_urls:
         assert without_render[0] not in chunks_by_url
+
+
+def test_seed_frontier_bulk_many_matches_per_request(spark, tmp_path):
+    """Batched bulk seeding (3 commits total) must write the same frontier
+    rows and request state as the per-request path."""
+    fx = _mini_retry_fixtures(flaky=0, retry_after=0)
+    urls = [f"https://h9.example.com/p{i}" for i in range(5)]
+    reqs = [(1, urls[0], 100, 10, False), (2, urls[0], 100, 10, False)]
+    r1 = make_runner(spark, fx, tmp_path / "a")
+    r2 = make_runner(spark, fx, tmp_path / "b")
+    try:
+        for rid, seed, mp, md, sd in reqs:
+            r1.seed_frontier_bulk(
+                rid, spark.createDataFrame([(u,) for u in urls], ["url"]),
+                max_pages=mp, max_depth=md, same_domain=sd,
+            )
+        r2.seed_frontier_bulk_many(
+            reqs,
+            spark.createDataFrame(
+                [(rid, u) for rid, *_ in reqs for u in urls],
+                "request_id long, url string",
+            ),
+        )
+        f1 = {(r.request_id, r.url, r.seq, r.depth)
+              for r in r1.t_frontier.read().collect()}
+        f2 = {(r.request_id, r.url, r.seq, r.depth)
+              for r in r2.t_frontier.read().collect()}
+        assert f1 == f2
+        s1 = {(r.request_id, r.crawled_so_far, r.max_seq)
+              for r in r1.t_state.read().collect()}
+        s2 = {(r.request_id, r.crawled_so_far, r.max_seq)
+              for r in r2.t_state.read().collect()}
+        assert s1 == s2
+    finally:
+        r1.close()
+        r2.close()
