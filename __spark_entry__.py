@@ -5,8 +5,11 @@
   fusion, ranking boosts, dedup/diversify, pagination.
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator
   (SURVEY.md §2); SQL-expressible ones carry a DuckDB oracle twin, the
-  rest are rows-only (minhash/simhash/LSH/image-decode — hash functions
-  or binary payloads DuckDB can't reproduce).
+  rest are rows-only (minhash/simhash/LSH/IVF/image-decode — hash
+  functions or binary payloads DuckDB can't reproduce; their *invariants*
+  ARE oracled via the `*_sound` violation entries, and the full crawl-gate
+  semantics via `crawl_gates`, a sequential recursive-CTE replay of the
+  reference loop).
 
 Implementation lives in my_crawler_spark/entry_queries.py (checked-in
 package); this file is the thin driver-facing shim.

@@ -816,6 +816,20 @@ def q_lsh_ann_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF ANN top-10 for queries 0/1/2 (rows-only: centroid assignment is
+    data-dependent; recall + 384-d plan regression in tests/test_simsearch)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(map(float, r.embedding)))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    assigned, cents = SS.ivf_index(emb, n_lists=16)
+    return SS.ivf_topk(assigned, cents, qs, k=10, n_probe=4).select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
 def q_image_decode_phash(spark, sf_dir) -> DataFrame:
     """E10 plumbing over a deterministic image table synthesized from part:
     encode seeded pixels per row, decode via the Arrow stage, verify phash
@@ -911,6 +925,391 @@ def q_crawl_bsp(spark, sf_dir) -> DataFrame:
     return runner.t_visits.read().select("request_id", "seq", "url", "depth", "outcome")
 
 
+# --------------------------------------------------------------------------
+# Soundness oracles for the hash-based pipelines (VERDICT r2 item #7):
+# DuckDB cannot reproduce xxhash64/SRP buckets, but it can pin the
+# *invariants* their outputs must satisfy. Each entry emits the VIOLATIONS
+# relation — reported results failing the exact predicate, recomputed
+# through an independent Spark plan — and the oracle is the same relation's
+# SQL form: provably empty. A green row = the invariant held; any unsound
+# pair/result becomes a row-count + hash mismatch. (Same pattern as
+# dedup_exact, whose green row is also 0 = 0.)
+# --------------------------------------------------------------------------
+def q_minhash_sound(spark, sf_dir) -> DataFrame:
+    """Every MinHash-LSH reported pair must carry the TRUE n-gram Jaccard:
+    anti-check against the exact blocked self-join pipeline (jaccard_pairs
+    with pruning off), which shares no candidate-generation code with LSH."""
+    d = _t(spark, sf_dir, "documents")
+    lsh = D.near_duplicates_minhash(d, n=5, threshold=0.2, bands=8, rows_per_band=4)
+    exact = D.jaccard_pairs(d, n=5, threshold=0.2, max_doc_freq=None).select(
+        "id_a", "id_b", F.col("jaccard").alias("j_exact")
+    )
+    return (
+        lsh.join(exact, ["id_a", "id_b"], "left")
+        .filter(
+            F.col("j_exact").isNull()
+            | (F.abs(F.col("jaccard") - F.col("j_exact")) > 1e-9)
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+    )
+
+
+SQL_MINHASH_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1 = 0
+"""
+
+
+def q_simhash_sound(spark, sf_dir) -> DataFrame:
+    """The pigeonhole-blocked SimHash join must EQUAL brute-force all-pairs
+    Hamming <= 3 over the same fingerprints (4 chunks, <=3 flips: any
+    near-pair shares a chunk, so blocking loses nothing and adds nothing).
+    Violations = symmetric difference; must be empty."""
+    d = _t(spark, sf_dir, "documents")
+    blocked = D.simhash_near_duplicates(d, max_hamming=3, blocks=4)
+    sh = D.simhash64(d)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", F.col("hamming").alias("h_brute"))
+    )
+    diff = blocked.join(brute, ["id_a", "id_b"], "full").filter(
+        F.col("hamming").isNull()
+        | F.col("h_brute").isNull()
+        | (F.col("hamming") != F.col("h_brute"))
+    )
+    return diff.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+SQL_SIMHASH_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1 = 0
+"""
+
+
+def q_lsh_ann_sound(spark, sf_dir) -> DataFrame:
+    """LSH-ANN results are never fabricated: every reported (query, vec,
+    cos, rank) must (a) carry the TRUE cosine of that pair — recomputed
+    against vectors re-read from the table — (b) reference an existing
+    vec_id, and (c) have ranks consistent with descending cosine. (Recall
+    is a tuned property tested in test_simsearch; a reported neighbor may
+    legitimately sit outside the global top-k when its bucket is sparse,
+    so subset-of-top-N is NOT the invariant.) Violations must be empty."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(map(float, r.embedding)))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    dim = len(qs[0][1])
+    idx = SS.lsh_index(emb, dim=dim, n_bits=6, n_tables=4)
+    ann = SS.lsh_topk(idx, qs, dim=dim, k=10, n_bits=6, n_tables=4)
+    from .operators.search import cosine
+
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in qs], "query_id long, qv array<double>"
+    )
+    truth = (
+        emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("ev"))
+        .crossJoin(F.broadcast(qdf))
+        .select("query_id", "v2", cosine(F.col("ev"), F.col("qv")).alias("cos_true"))
+    )
+    rank_by_cos = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    )
+    return (
+        ann.withColumn("rank_by_cos", rank_by_cos)
+        .join(
+            truth,
+            (ann["query_id"] == truth["query_id"]) & (ann["vec_id"] == F.col("v2")),
+            "left",
+        )
+        .drop(truth["query_id"])
+        .filter(
+            F.col("cos_true").isNull()
+            | (F.abs(F.col("cos") - F.col("cos_true")) > 1e-6)
+            | (F.col("rank") != F.col("rank_by_cos"))
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+    )
+
+
+SQL_LSH_ANN_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS vec_id
+    WHERE 1 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3-Q7 full crawl-gate semantics, DuckDB-oracled (VERDICT r2 item #1):
+# a deterministic multi-gate web (robots disallows, 403 origin blocking,
+# 500 failures, redirects with trap finals, trap/file links, max_pages
+# budget, max_depth) synthesized from orders+lineitem, crawled by the REAL
+# CrawlRunner; the oracle replays the reference's sequential gate loop
+# (crawl_loop.rs:106-256) as a recursive CTE carrying (queue, visited,
+# blocked, crawled, next_seq) list-state — one pop per recursion step.
+# Politeness tokens need not be modeled: rounds are strict seq-prefixes, so
+# budgets are pure pacing (property: test_politeness_budget_does_not_change
+# _results), and the visit log is budget-independent.
+# --------------------------------------------------------------------------
+_CG_MAX_PAGES, _CG_MAX_DEPTH = 40, 4
+
+_CG_WEB_SQL = """
+    nodes AS (SELECT DISTINCT o_orderkey % 120 AS i FROM orders),
+    urls AS (
+      SELECT i,
+             'https://h' || CAST(i % 5 AS VARCHAR) || '.example.com' AS origin,
+             CASE WHEN i % 17 = 3 THEN '/login/' || CAST(i AS VARCHAR)
+                  WHEN i % 17 = 5 THEN '/files/' || CAST(i AS VARCHAR) || '.pdf'
+                  WHEN i % 11 = 4 THEN '/private/' || CAST(i AS VARCHAR)
+                  ELSE '/page/' || CAST(i AS VARCHAR) END AS path
+      FROM nodes),
+    node_pages AS (
+      SELECT i, origin, path, origin || path AS url,
+             CASE WHEN i % 13 = 7 THEN 403 WHEN i % 13 = 9 THEN 500
+                  WHEN i % 13 = 11 THEN 301 ELSE 200 END AS status,
+             CASE WHEN i % 13 = 11 THEN
+               origin || (CASE WHEN i % 2 = 0 THEN '/login/rt' ELSE '/rt' END)
+                      || CAST(i AS VARCHAR)
+             END AS rt_url
+      FROM urls),
+    edges AS (
+      SELECT DISTINCT l_orderkey % 120 AS si, l_partkey % 120 AS di
+      FROM lineitem WHERE l_orderkey % 120 <> l_partkey % 120),
+    -- enqueue-eligible outlinks only: trap/file targets never enter the
+    -- queue (the Spark side emits them and admit_links drops them, F4/F5)
+    links AS (
+      SELECT p.url AS src_url, list(d.url ORDER BY e.di) AS outs
+      FROM edges e
+      JOIN node_pages p ON p.i = e.si
+      JOIN node_pages d ON d.i = e.di
+      WHERE d.path NOT LIKE '/login/%' AND d.path NOT LIKE '/files/%'
+      GROUP BY p.url),
+    seed AS (
+      SELECT min_by(url, i) AS url FROM node_pages
+      WHERE status = 200 AND path LIKE '/page/%')
+"""
+
+
+def q_crawl_gates(spark, sf_dir) -> DataFrame:
+    import tempfile
+
+    import pandas as pd
+
+    from .fixtures import make_images
+    from .plans.crawl_plan import CrawlRunner
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    i = F.col("i")
+    origin = F.concat(F.lit("https://h"), (i % 5).cast("string"), F.lit(".example.com"))
+    path = (
+        F.when(i % 17 == 3, F.concat(F.lit("/login/"), i.cast("string")))
+        .when(i % 17 == 5, F.concat(F.lit("/files/"), i.cast("string"), F.lit(".pdf")))
+        .when(i % 11 == 4, F.concat(F.lit("/private/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/page/"), i.cast("string")))
+    )
+    node_pages = (
+        o.select((F.col("o_orderkey") % 120).alias("i"))
+        .distinct()
+        .select(
+            "i",
+            origin.alias("origin"),
+            path.alias("path"),
+            F.concat(origin, path).alias("url"),
+            F.when(i % 13 == 7, 403)
+            .when(i % 13 == 9, 500)
+            .when(i % 13 == 11, 301)
+            .otherwise(200)
+            .alias("status"),
+            F.when(
+                i % 13 == 11,
+                F.concat(
+                    origin,
+                    F.when(i % 2 == 0, F.lit("/login/rt")).otherwise(F.lit("/rt")),
+                    i.cast("string"),
+                ),
+            ).alias("rt_url"),
+        )
+        .cache()
+    )
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 120).alias("si"), (F.col("l_partkey") % 120).alias("di")
+        )
+        .filter(F.col("si") != F.col("di"))
+        .distinct()
+    )
+    # outlinks INCLUDE trap/file targets — admit_links must drop them (F4/F5)
+    outs = (
+        edges.join(node_pages.select(F.col("i").alias("si"), F.col("url").alias("src_url")), "si")
+        .join(node_pages.select(F.col("i").alias("di"), F.col("url").alias("dst_url")), "di")
+        .groupBy("src_url")
+        .agg(F.array_sort(F.collect_list(F.struct("di", "dst_url"))).alias("s"))
+        .select("src_url", F.expr("transform(s, x -> x.dst_url)").alias("outlinks"))
+    )
+    empty_links = F.array().cast("array<string>")
+    page_cols = lambda url_col, status_col, links_col: [  # noqa: E731
+        url_col.alias("url"),
+        status_col.cast("int").alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(0).alias("flaky_fail_times"),
+        F.lit(1000).cast("long").alias("body_len"),
+        F.lit("img-00000000").alias("image_id"),
+        links_col.alias("outlinks"),
+    ]
+    pages = (
+        node_pages.join(outs, node_pages["url"] == outs["src_url"], "left")
+        .select(*page_cols(node_pages["url"], F.col("status"),
+                           F.coalesce("outlinks", empty_links)))
+        .unionByName(
+            node_pages.filter(F.col("rt_url").isNotNull()).select(
+                *page_cols(F.col("rt_url"), F.lit(200), empty_links)
+            )
+        )
+    )
+    redirects = node_pages.filter(F.col("rt_url").isNotNull()).select(
+        F.col("url").alias("src_url"), F.col("rt_url").alias("dst_url")
+    )
+    seed_url = (
+        node_pages.filter((F.col("status") == 200) & F.col("path").startswith("/page/"))
+        .orderBy("i")
+        .limit(1)
+        .collect()[0]
+        .url
+    )
+    robots_pdf = pd.DataFrame(
+        [
+            {"origin": f"https://h{j}.example.com", "status": 200,
+             "body": "User-agent: *\nDisallow: /private\n"}
+            for j in range(5)
+        ]
+    )
+    runner = CrawlRunner(
+        spark,
+        tempfile.mkdtemp(prefix="crawl_gates_"),
+        pages=pages,
+        redirects=redirects,
+        images=spark.createDataFrame(make_images(seed=1, n=1)),
+        robots_pdf=robots_pdf,
+        sitemaps_pdf=pd.DataFrame(columns=["sitemap_url", "kind", "loc", "lastmod"]),
+        budgets=spark.createDataFrame([], "host string, tokens_per_round int"),
+        use_bloom=False,
+    )
+    try:
+        runner.admit_requests(
+            pd.DataFrame(
+                [{"request_id": 1, "url": seed_url, "max_pages": _CG_MAX_PAGES,
+                  "max_depth": _CG_MAX_DEPTH, "same_domain": False}]
+            )
+        )
+        runner.run(max_rounds=60)
+        out = runner.t_visits.read().select(
+            F.col("seq").cast("long").alias("seq"), "url",
+            F.col("depth").cast("int").alias("depth"), "outcome", "final_url",
+        )
+        out.count()  # materialize before releasing the runner's caches
+    finally:
+        node_pages.unpersist()
+        runner.close()
+    return out
+
+
+SQL_CRAWL_GATES = f"""
+WITH RECURSIVE
+{_CG_WEB_SQL},
+sim(step, queue, visited, blocked, crawled, next_seq, log) AS (
+    SELECT 0,
+           [{{'url': s.url, 'depth': 0, 'seq': CAST(1 AS BIGINT)}}],
+           CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]),
+           0, CAST(1 AS BIGINT),
+           CAST([] AS STRUCT(seq BIGINT, url VARCHAR, depth INTEGER,
+                             outcome VARCHAR, final_url VARCHAR)[])
+    FROM seed s
+    UNION ALL
+    SELECT step + 1,
+           CASE WHEN outcome = 'crawled' THEN qrest || enq ELSE qrest END,
+           CASE WHEN gate_skip THEN visited
+                WHEN final_url IS NOT NULL
+                     AND NOT list_contains(visited || [cur.url], final_url)
+                  THEN visited || [cur.url, final_url]
+                WHEN list_contains(visited, cur.url) THEN visited
+                ELSE list_append(visited, cur.url) END,
+           CASE WHEN outcome = 'blocked' THEN list_append(blocked, cur_origin)
+                ELSE blocked END,
+           crawled + CASE WHEN outcome = 'crawled' THEN 1 ELSE 0 END,
+           next_seq + CASE WHEN outcome = 'crawled' THEN len(enq) ELSE 0 END,
+           CASE WHEN outcome IN ('robots','blocked','failed','final_trap','crawled')
+                THEN list_append(log, {{'seq': cur.seq, 'url': cur.url,
+                     'depth': cur.depth, 'outcome': outcome,
+                     'final_url': final_url}})
+                ELSE log END
+    FROM (
+      SELECT s.*, l.outs,
+             s.queue[1] AS cur,
+             s.queue[2:] AS qrest,
+             p.origin AS cur_origin,
+             -- gate order: budget, depth, dup/blocked (crawl_loop.rs:143-156)
+             (s.crawled >= {_CG_MAX_PAGES} OR s.queue[1].depth > {_CG_MAX_DEPTH}
+              OR list_contains(s.visited, s.queue[1].url)
+              OR list_contains(s.blocked, p.origin)) AS gate_skip,
+             CASE
+               WHEN s.crawled >= {_CG_MAX_PAGES} OR s.queue[1].depth > {_CG_MAX_DEPTH}
+                 OR list_contains(s.visited, s.queue[1].url)
+                 OR list_contains(s.blocked, p.origin) THEN 'skip'
+               WHEN p.path LIKE '/private%' THEN 'robots'
+               WHEN p.status = 403 THEN 'blocked'
+               WHEN p.status = 500 THEN 'failed'
+               WHEN p.status = 301 AND p.rt_url LIKE '%/login/%' THEN 'final_trap'
+               ELSE 'crawled'
+             END AS outcome,
+             CASE
+               WHEN s.crawled >= {_CG_MAX_PAGES} OR s.queue[1].depth > {_CG_MAX_DEPTH}
+                 OR list_contains(s.visited, s.queue[1].url)
+                 OR list_contains(s.blocked, p.origin) THEN NULL
+               WHEN p.path LIKE '/private%' OR p.status IN (403, 500) THEN NULL
+               WHEN p.status = 301 THEN p.rt_url
+               ELSE p.url END AS final_url,
+             -- links of the FINAL page (redirect targets have none)
+             CASE WHEN p.status = 301 THEN CAST([] AS VARCHAR[])
+                  ELSE coalesce(l.outs, CAST([] AS VARCHAR[])) END AS outs0
+      FROM sim s
+      JOIN node_pages p ON p.url = s.queue[1].url
+      LEFT JOIN links l ON l.src_url = s.queue[1].url
+      WHERE len(s.queue) > 0
+    ) g,
+    LATERAL (
+      SELECT CASE WHEN g.outcome = 'crawled' THEN
+               list_transform(
+                 range(1, 1 + len(list_filter(g.outs0, u ->
+                     NOT list_contains(g.visited || [g.cur.url], u)
+                     AND NOT list_contains(list_transform(g.qrest, q -> q.url), u)))),
+                 j -> {{'url': list_filter(g.outs0, u ->
+                         NOT list_contains(g.visited || [g.cur.url], u)
+                         AND NOT list_contains(list_transform(g.qrest, q -> q.url), u))[j],
+                       'depth': g.cur.depth + 1,
+                       'seq': g.next_seq + j}})
+             ELSE CAST([] AS STRUCT(url VARCHAR, depth INTEGER, seq BIGINT)[])
+             END AS enq
+    ) e
+)
+SELECT lg['seq'] AS seq, lg['url'] AS url, CAST(lg['depth'] AS INTEGER) AS depth,
+       lg['outcome'] AS outcome, lg['final_url'] AS final_url
+FROM (SELECT unnest(log) AS lg
+      FROM (SELECT log FROM sim ORDER BY step DESC LIMIT 1))
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_filters": q_url_filters,
@@ -933,11 +1332,16 @@ QUERIES = {
     "rank_boosts": q_rank_boosts,
     "dedup_diversify_paginate": q_dedup_diversify_paginate,
     "jaccard_pairs": q_jaccard_pairs,
+    "crawl_gates": q_crawl_gates,
+    "minhash_sound": q_minhash_sound,
+    "simhash_sound": q_simhash_sound,
+    "lsh_ann_sound": q_lsh_ann_sound,
     # rows-only (no SQL-expressible oracle)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "image_decode_phash": q_image_decode_phash,
     "multimodal_frames": q_multimodal_frames,
     "crawl_bsp": q_crawl_bsp,
@@ -965,6 +1369,10 @@ ORACLES = {
     "rank_boosts": SQL_RANK_BOOSTS,
     "dedup_diversify_paginate": SQL_DEDUP_DIVERSIFY_PAGINATE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "crawl_gates": SQL_CRAWL_GATES,
+    "minhash_sound": SQL_MINHASH_SOUND,
+    "simhash_sound": SQL_SIMHASH_SOUND,
+    "lsh_ann_sound": SQL_LSH_ANN_SOUND,
 }
 
 
@@ -1304,8 +1712,8 @@ SQL_RETRY_COST = """
     costed AS (
       SELECT *,
              LEAST(flaky_fail_times + 1, 3) AS attempts,
-             GREATEST(1, retry_after_s) AS d0,
-             GREATEST(2, retry_after_s) AS d1
+             CASE WHEN retry_after_s > 0 THEN retry_after_s ELSE 1 END AS d0,
+             CASE WHEN retry_after_s > 0 THEN retry_after_s ELSE 2 END AS d1
       FROM pages)
     SELECT page_id, flaky_fail_times, retry_after_s,
            CAST(attempts + FLOOR(

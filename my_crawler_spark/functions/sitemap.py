@@ -17,25 +17,29 @@ than trusting content headers.
 from __future__ import annotations
 
 import gzip
+import io
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
-SITEMAP_MAX_BYTES = 50 * 1024 * 1024  # standard sitemap protocol cap
+SITEMAP_MAX_BYTES = 10 * 1024 * 1024  # MAX_DECOMPRESSED_BYTES (sitemap.rs:15,92-99)
 
 
 def parse_sitemap_bytes(body: bytes | None) -> list[tuple[str, str, str | None]]:
     """-> [(kind, loc, lastmod_text)] with kind in {'url', 'sitemap'}.
 
     Gzip-sniffs (1f 8b magic); malformed XML or oversized payloads yield [].
+    Decompression is bounded (read cap + 1 byte, like the reference's
+    ``.take()`` reader, sitemap.rs:92-99): a small gzip bomb never
+    materializes beyond the cap in executor memory.
     """
     if not body:
         return []
     if body[:2] == b"\x1f\x8b":
         try:
-            body = gzip.decompress(body)
+            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read(SITEMAP_MAX_BYTES + 1)
         except (OSError, EOFError):  # BadGzipFile is OSError; truncated = EOFError
             return []
     if len(body) > SITEMAP_MAX_BYTES:

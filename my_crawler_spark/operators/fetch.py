@@ -37,9 +37,12 @@ def retry_token_cost(flaky_col: F.Column, retry_after_col: F.Column) -> F.Column
     """Politeness tokens one frontier row consumes (S2).
 
     The reference acquires the per-origin limiter once per attempt
-    (web_visitor.rs:193) and sleeps ``max(1s * 2^attempt, Retry-After)``
-    between attempts (web_visitor.rs:255-271). With one token ~= one
-    2-second origin slot (web_visitor.rs:29-62), a row's cost is
+    (web_visitor.rs:193) and sleeps ``Retry-After`` when the header is
+    present, else the backoff ``1s * 2^attempt``, between attempts
+    (web_visitor.rs:161 ``retry_after(...).unwrap_or_else(|| backoff)``,
+    :255-271). The fixture encodes "header absent" as retry_after_s = 0.
+    With one token ~= one 2-second origin slot (web_visitor.rs:29-62), a
+    row's cost is
 
         attempts + floor(sum_of_inter-attempt_delays / 2)
 
@@ -52,14 +55,151 @@ def retry_token_cost(flaky_col: F.Column, retry_after_col: F.Column) -> F.Column
     attempts = F.least(
         F.coalesce(flaky_col, F.lit(0)).cast("long") + 1, F.lit(MAX_ATTEMPTS).cast("long")
     )
-    d0 = F.greatest(F.lit(1).cast("long"), ra)  # after attempt 0: max(2^0, ra)
-    d1 = F.greatest(F.lit(2).cast("long"), ra)  # after attempt 1: max(2^1, ra)
+    d0 = F.when(ra > 0, ra).otherwise(F.lit(1).cast("long"))  # after attempt 0
+    d1 = F.when(ra > 0, ra).otherwise(F.lit(2).cast("long"))  # after attempt 1
     delay = (
         F.when(attempts >= 3, d0 + d1)
         .when(attempts == 2, d0)
         .otherwise(F.lit(0).cast("long"))
     )
     return attempts + F.floor(delay / 2).cast("long")
+
+
+def _effective_redirect(status_col: F.Column, flaky_col: F.Column) -> F.Column:
+    """A page actually answers 3xx only when it isn't flaky: flaky pages
+    answer 5xx then 200 on retry, and retry-exhausted pages fail before the
+    redirect is followed (mirrors ``_classify``'s eff_status routing)."""
+    return (
+        (status_col >= 300)
+        & (status_col < 400)
+        & (F.coalesce(flaky_col, F.lit(0)) == 0)
+    )
+
+
+def max_redirect_hops(pages: DataFrame, redirects: DataFrame) -> int:
+    """Longest consecutive-redirect run in the web, capped at MAX_REDIRECTS.
+    One bounded sequence of shrinking joins at runner init — buys fetch_join
+    a probe-free hop loop for every round after (the per-hop isEmpty()
+    probes were ~11 serial driver actions/round). Each step is cached so
+    iteration k is one incremental join over step k-1's (small, shrinking)
+    tail set, not a k-deep recompute."""
+    red_pages = (
+        pages.filter(_effective_redirect(F.col("status"), F.col("flaky_fail_times")))
+        .select("url")
+        .cache()
+    )
+    red = redirects.select("src_url", "dst_url")
+    # cur = chain tails still sitting on a redirect page after `hops` steps
+    cur = red_pages
+    hops = 0
+    caches = [red_pages]
+    try:
+        while hops < MAX_REDIRECTS and not cur.isEmpty():
+            hops += 1
+            cur = (
+                cur.join(red, cur["url"] == red["src_url"])
+                .select(F.col("dst_url").alias("url"))
+                .join(
+                    red_pages.select(F.col("url").alias("__r")),
+                    F.col("url") == F.col("__r"),
+                )
+                .select("url")
+                .distinct()
+                .cache()
+            )
+            caches.append(cur)
+    finally:
+        for c in caches:
+            c.unpersist()
+    return hops
+
+
+def chain_token_cost(
+    pages: DataFrame, redirects: DataFrame, max_hops: int,
+    has_retry_after: bool = True,
+) -> DataFrame:
+    """(url, token_cost, chain_hops): politeness tokens a frontier URL
+    consumes across its WHOLE redirect chain — the reference acquires the
+    per-origin limiter before every hop, not just the first
+    (web_visitor.rs:186-217, acquire at :193), so a 5-hop chain must eat
+    5+ tokens of its host's round budget — plus the chain length itself
+    (``chain_hops`` = red-steps to the terminal page), which lets each
+    crawl round size its fetch hop loop to the admitted rows' actual
+    maximum instead of unrolling MAX_REDIRECTS joins or probing per hop.
+
+    Per-hop cost = retry_token_cost of that hop's page (redirect hops are
+    non-flaky by construction, so they cost exactly 1 each); a hop whose
+    target has no pages row costs 1 (the connect attempt); a redirect page
+    with no edge ends the chain with no extra fetch (fetch_join's dead-edge
+    branch). Terminal-only webs (max_hops=0) reduce to the plain per-page
+    retry cost with chain_hops 0.
+
+    Scale shape: the chain iteration runs only over redirect *sources*
+    (tiny vs the pages table); the big side is touched once to build the
+    per-page cost and once per chain step as the probe side of an equi-join.
+    """
+    ra = F.col("retry_after_s") if has_retry_after else F.lit(0)
+    base = (
+        pages.select(
+            "url",
+            retry_token_cost(F.col("flaky_fail_times"), ra).alias("c"),
+            _effective_redirect(F.col("status"), F.col("flaky_fail_times")).alias("__is_red"),
+        )
+        .join(
+            redirects.select(
+                F.col("src_url").alias("url"), F.col("dst_url").alias("__dst")
+            ),
+            "url",
+            "left",
+        )
+        .select(
+            "url", "c",
+            F.when(F.col("__is_red"), F.col("__dst")).alias("next_url"),
+        )
+    )
+    zero = F.lit(0).cast("int").alias("chain_hops")
+    if max_hops <= 0:
+        return base.select("url", F.col("c").alias("token_cost"), zero)
+    done = base.filter(F.col("next_url").isNull()).select(
+        "url", F.col("c").alias("token_cost"), zero
+    )
+    chains = base.filter(F.col("next_url").isNotNull()).select(
+        "url", F.col("c").alias("token_cost"), "next_url"
+    )
+    # hop targets are redirect dsts only — keep the per-step probe relation
+    # small instead of re-scanning the whole pages table each iteration
+    step = (
+        base.join(redirects.select(F.col("dst_url").alias("url")).distinct(), "url")
+        .select(
+            F.col("url").alias("__u"), F.col("c").alias("__c"),
+            F.col("next_url").alias("__n"),
+        )
+    )
+    for hop in range(1, max_hops + 1):
+        chains = (
+            chains.join(step, chains["next_url"] == F.col("__u"), "left")
+            .select(
+                "url",
+                # missing pages row for the hop target = one connect attempt
+                (F.col("token_cost") + F.coalesce(F.col("__c"), F.lit(1))).alias(
+                    "token_cost"
+                ),
+                F.col("__n").alias("next_url"),
+            )
+        )
+        done = done.unionByName(
+            chains.filter(F.col("next_url").isNull()).select(
+                "url", "token_cost", F.lit(hop).cast("int").alias("chain_hops")
+            )
+        )
+        chains = chains.filter(F.col("next_url").isNotNull())
+    # cycles / over-long chains: cost accrued over MAX_REDIRECTS hops is the
+    # exact spend before the hop budget trips (web_visitor.rs:120)
+    return done.unionByName(
+        chains.select(
+            "url", "token_cost", F.lit(max_hops).cast("int").alias("chain_hops")
+        )
+    )
 
 
 def _classify(hop: DataFrame) -> DataFrame:
@@ -154,6 +294,7 @@ def fetch_join(
     has_redirects: bool = True,
     cache_registry: list | None = None,
     rendered: DataFrame | None = None,
+    max_hops: int | None = None,
 ) -> DataFrame:
     """frontier(request_id, seq, url[, use_browser], ...) -> + fetch result
     columns.
@@ -171,8 +312,11 @@ def fetch_join(
     """
     browser_part = None
     if "use_browser" in frontier.columns:
-        browser_rows = frontier.filter(F.col("use_browser")).drop("use_browser")
-        frontier = frontier.filter(~F.col("use_browser")).drop("use_browser")
+        # NULL use_browser = plain fetch; filter(col)/filter(~col) would
+        # silently drop null rows from both branches
+        ub = F.coalesce(F.col("use_browser"), F.lit(False))
+        browser_rows = frontier.filter(ub).drop("use_browser")
+        frontier = frontier.filter(~ub).drop("use_browser")
         browser_part = _browser_fetch(browser_rows, rendered)
 
     fallback = rendered is not None and "body_html" in pages.columns
@@ -251,10 +395,15 @@ def fetch_join(
         )
     resolved_parts: list[DataFrame] = []
     cached: list[DataFrame] = [] if cache_registry is None else cache_registry
-    for hop in range(MAX_REDIRECTS + 1):
-        # hop caches keep the per-hop isEmpty() incremental; the caller
-        # unpersists them (via cache_registry) once the round materializes —
-        # otherwise they leak across rounds
+    # with a known chain bound (max_redirect_hops, runner init) the hop loop
+    # is probe-free: exactly bound+1 classify passes, ZERO driver actions
+    # here; without one, fall back to per-hop isEmpty() early exit
+    last_hop = MAX_REDIRECTS if max_hops is None else min(max_hops, MAX_REDIRECTS)
+    for hop in range(last_hop + 1):
+        # hop caches keep each classify join computed once even though two
+        # branches (terminal, redirecting) consume it; the caller unpersists
+        # them (via cache_registry) once the round materializes — otherwise
+        # they leak across rounds
         joined = _classify(work.join(pages_cols, "cur_url", "left")).cache()
         cached.append(joined)
         terminal = joined.filter(F.col("fetch_kind") != "redirect")
@@ -270,8 +419,10 @@ def fetch_join(
             )
         )
         redirecting = joined.filter(F.col("fetch_kind") == "redirect")
-        if hop == MAX_REDIRECTS:
-            # hop budget exhausted -> Redirect error (web_visitor.rs:120)
+        if hop == last_hop:
+            # hop budget exhausted -> Redirect error (web_visitor.rs:120).
+            # With a chain bound < MAX_REDIRECTS this branch is empty by
+            # construction (no chain is that long), so it is still exact.
             resolved_parts.append(
                 redirecting.withColumn("fetch_kind", F.lit("failed"))
                 .withColumn("fetch_error", F.lit("redirect"))
@@ -302,9 +453,9 @@ def fetch_join(
             .withColumn("cur_url", F.col("__next_url"))
             .drop("__next_url")
         )
-        # the cached `joined` makes this a cheap incremental check, and the
-        # redirecting subset shrinks monotonically
-        if work.isEmpty():
+        # probe only when the chain bound is unknown; the cached `joined`
+        # makes it a cheap incremental check on a monotonically-shrinking set
+        if max_hops is None and work.isEmpty():
             break
 
     out = resolved_parts[0]

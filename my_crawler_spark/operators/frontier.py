@@ -104,15 +104,6 @@ def _fold_segment_vectorized(pdf: pd.DataFrame, st: _ReqState) -> pd.DataFrame |
         return None
     if pdf["url"].duplicated().any():
         return None
-    finals = pdf["final_url"].where(ok & (pdf["final_url"] != pdf["url"]))
-    redirected = set(finals.dropna())
-    if redirected and (
-        pdf["url"].isin(redirected).any() or (redirected & st.visited)
-    ):
-        # a redirect final colliding with this segment's urls is order-
-        # sensitive; one already in the carried set just dup-skips, but the
-        # loop handles both exactly
-        return None
 
     depth_over = (pdf["depth"] > st.max_depth).to_numpy()
     dup = (
@@ -122,8 +113,22 @@ def _fold_segment_vectorized(pdf: pd.DataFrame, st: _ReqState) -> pd.DataFrame |
         | pdf["origin"].isin(st.blocked)
     ).to_numpy()
     robots_ok = pdf["robots_allowed_flag"].fillna(True).to_numpy(bool)
+    # final_url is marked visited ONLY by rows that reach gate 8 — a row
+    # gated out by depth/dup/robots never touches the visited set
+    # (crawl_loop.rs:203); masking the finals by the gates keeps skipped
+    # rows' redirects from polluting the carried state across batches
+    reach_g8 = ok & ~depth_over & ~dup & robots_ok
+    finals = pdf["final_url"].where(reach_g8 & (pdf["final_url"] != pdf["url"]))
+    redirected = set(finals.dropna())
+    if redirected and (
+        pdf["url"].isin(redirected).any() or (redirected & st.visited)
+    ):
+        # a redirect final colliding with this segment's urls is order-
+        # sensitive; one already in the carried set just dup-skips, but the
+        # loop handles both exactly
+        return None
     trap = pdf["final_is_trap"].fillna(False).to_numpy(bool)
-    would_crawl = ~depth_over & ~dup & robots_ok & ok & ~trap
+    would_crawl = reach_g8 & ~trap
     if st.crawled + int(would_crawl.sum()) >= st.max_pages:
         return None  # budget crossing -> sequential
 
@@ -135,7 +140,7 @@ def _fold_segment_vectorized(pdf: pd.DataFrame, st: _ReqState) -> pd.DataFrame |
         np.where(~ok, "failed",
         np.where(trap, "final_trap", "crawled")))),
     )
-    final_mark = marked & ok
+    final_mark = reach_g8
     out = pd.DataFrame(
         {
             "request_id": pdf["request_id"].to_numpy(),

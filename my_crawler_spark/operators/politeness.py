@@ -13,9 +13,10 @@ Reference semantics being re-expressed:
   pure pacing, and the final visit order / seen set are independent of
   token budgets (property-tested in tests/test_frontier.py).
 
-Both gates run inside ``groupBy(...).applyInPandas`` batches (north_rule):
-token ranking per host, robots matching per origin (body parsed once per
-group, matched vectorized over the group's URLs).
+Token ranking is a native window cumsum (pure JVM — the admission stage
+scans the whole frontier, the biggest table in the system); only robots
+matching runs in ``groupBy(origin).applyInPandas`` batches (body parsed
+once per group, matched vectorized over the group's URLs).
 
 Skew note (north_rule): admission only *ranks* per host — the heavy
 fetch/decode stage afterwards is free to salt a hot host's admitted rows
@@ -27,7 +28,7 @@ shuffles only (request_id, seq, host, url-hash) control columns.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -43,45 +44,26 @@ DEFAULT_TOKENS_PER_ROUND = 8
 PRODUCT_TOKEN = "my_crawler"
 
 
-def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
-    """Mark each frontier row admitted/deferred for this round.
-
-    frontier: (request_id, url, host, depth, seq, fetchable:boolean
-               [, token_cost:long — per-attempt politeness cost, S2])
-    budgets:  (host, tokens_per_round) — small dim, broadcast.
-
-    Returns frontier + ``admitted`` column. Strict prefix per request_id:
-    cutoff = min seq (per request) of any fetchable row that would START
-    after its host's token budget is spent (``cumulative_cost - own_cost >=
-    budget``); admitted = seq < cutoff. With unit costs this is exactly the
-    old "rank exceeds budget" rule; weighted costs (retried fetches, S2)
-    only move the cutoff earlier — pacing, never reordering.
-    """
+def _with_budget(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
     if "token_cost" not in frontier.columns:
         frontier = frontier.withColumn("token_cost", F.lit(1).cast("long"))
-    rank_schema = StructType(
-        frontier.schema.fields
-        + [StructField("tokens_per_round", LongType()), StructField("host_rank", LongType())]
-    )
-
-    def rank_host(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq").copy()
-        tok = pdf["tokens_per_round"].iloc[0]
-        if pd.isna(tok):
-            tok = DEFAULT_TOKENS_PER_ROUND
-        # a zero/negative budget would starve the strict prefix forever
-        pdf["tokens_per_round"] = max(int(tok), 1)
-        # only fetchable rows consume; host_rank = cumulative token cost
-        pdf["host_rank"] = (pdf["token_cost"] * pdf["fetchable"]).cumsum()
-        return pdf
-
-    with_budget = frontier.join(
-        F.broadcast(budgets.withColumn("tokens_per_round", F.col("tokens_per_round").cast("long"))),
+    return frontier.join(
+        F.broadcast(
+            budgets.withColumn("tokens_per_round", F.col("tokens_per_round").cast("long"))
+        ),
         "host",
         "left",
+    ).withColumn(
+        # a zero/negative budget would starve the strict prefix forever
+        "tokens_per_round",
+        F.greatest(
+            F.coalesce("tokens_per_round", F.lit(DEFAULT_TOKENS_PER_ROUND).cast("long")),
+            F.lit(1).cast("long"),
+        ),
     )
-    ranked = with_budget.groupBy("request_id", "host").applyInPandas(rank_host, rank_schema)
 
+
+def _admitted_from_ranked(ranked: DataFrame) -> DataFrame:
     # over-budget = the row would start after the budget is exhausted; a
     # host's first fetchable row always starts (its own cost may overflow
     # the round — the fetch just takes longer, like the reference's retries)
@@ -99,13 +81,74 @@ def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
     )
 
 
-def robots_gate(rows: DataFrame, robots_dim: DataFrame, salt: int = 8) -> DataFrame:
+def admit_prefix(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
+    """Mark each frontier row admitted/deferred for this round.
+
+    frontier: (request_id, url, host, depth, seq, fetchable:boolean
+               [, token_cost:long — per-attempt politeness cost, S2])
+    budgets:  (host, tokens_per_round) — small dim, broadcast.
+
+    Returns frontier + ``admitted`` column. Strict prefix per request_id:
+    cutoff = min seq (per request) of any fetchable row that would START
+    after its host's token budget is spent (``cumulative_cost - own_cost >=
+    budget``); admitted = seq < cutoff. With unit costs this is exactly the
+    old "rank exceeds budget" rule; weighted costs (retried fetches, S2)
+    only move the cutoff earlier — pacing, never reordering.
+
+    The cumulative cost is a native window ``sum(token_cost * fetchable)
+    OVER (PARTITION BY request_id, host ORDER BY seq)`` — whole-stage
+    codegen, spillable, no Arrow round trip — this runs on the FULL frontier
+    (the 10^10-row table at scale), so a grouped-map pandas stage here would
+    both ship the table through Arrow every round and materialize each
+    (request, host) group as a single frame (a hot host with 10^7 queued
+    URLs = multi-GB in one task). ``admit_prefix_grouped_map`` keeps the
+    pandas implementation as a test twin.
+    """
+    ranked = _with_budget(frontier, budgets).withColumn(
+        "host_rank",
+        F.sum(
+            F.when(F.col("fetchable"), F.col("token_cost")).otherwise(F.lit(0).cast("long"))
+        ).over(
+            Window.partitionBy("request_id", "host")
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return _admitted_from_ranked(ranked)
+
+
+def admit_prefix_grouped_map(frontier: DataFrame, budgets: DataFrame) -> DataFrame:
+    """Grouped-map twin of :func:`admit_prefix` (the round-2 implementation)
+    kept for equivalence testing — not on the hot path."""
+    with_budget = _with_budget(frontier, budgets)
+    rank_schema = StructType(
+        with_budget.schema.fields + [StructField("host_rank", LongType())]
+    )
+
+    def rank_host(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq").copy()
+        pdf["host_rank"] = (pdf["token_cost"] * pdf["fetchable"]).cumsum()
+        return pdf
+
+    ranked = with_budget.groupBy("request_id", "host").applyInPandas(rank_host, rank_schema)
+    return _admitted_from_ranked(ranked)
+
+
+def robots_gate(
+    rows: DataFrame, robots_dim: DataFrame, salt: int = 8,
+    broadcast: bool = True,
+) -> DataFrame:
     """Adds ``robots_allowed_flag`` via per-(origin, salt) applyInPandas
     batches.
 
     rows:       must carry (origin, url) (+ anything else, passed through)
     robots_dim: (origin, entry_body:string nullable, allow_all:boolean) —
                 the cache-policy-resolved robots table (robots.rs:100-134).
+    broadcast:  at web scale robots is a TABLE (10^8 origins = multi-GB),
+                not a dim — pass False above the broadcast threshold and the
+                join falls back to a shuffle join on origin (both sides
+                hash-partition; the frontier side was about to shuffle by
+                origin for the grouped matcher anyway).
     Origins with no robots row behave as 404 allow-all (robots.rs:108-114).
 
     Matching is per-row independent — only the body parse is per-group — so
@@ -136,6 +179,9 @@ def robots_gate(rows: DataFrame, robots_dim: DataFrame, salt: int = 8) -> DataFr
         paths = pdf["url"].str.replace(
             r"^[a-z][a-z0-9+.\-]*://[^/?]*", "", regex=True, case=False
         )
+        # urlsplit (the scalar twin, url_match_path) drops fragments; cut
+        # them here too so both matchers agree on URLs containing '#'
+        paths = paths.str.split("#", n=1).str[0]
         paths = paths.where(paths.str.startswith("/"), "/" + paths)
         verdict = pd.Series(True, index=pdf.index)
         for _pat, is_allow, rx in rules:  # ascending precedence; last write wins
@@ -143,17 +189,14 @@ def robots_gate(rows: DataFrame, robots_dim: DataFrame, salt: int = 8) -> DataFr
         pdf["robots_allowed_flag"] = verdict
         return pdf.drop(columns=["__entry_body", "__allow_all"])
 
-    joined = rows.join(
-        F.broadcast(
-            robots_dim.select(
-                "origin",
-                F.col("entry_body").alias("__entry_body"),
-                F.col("allow_all").alias("__allow_all"),
-            )
-        ),
+    dim = robots_dim.select(
         "origin",
-        "left",
+        F.col("entry_body").alias("__entry_body"),
+        F.col("allow_all").alias("__allow_all"),
     )
+    if broadcast:
+        dim = F.broadcast(dim)
+    joined = rows.join(dim, "origin", "left")
     out = joined.groupBy(*group_keys).applyInPandas(check, out_schema)
     return out.drop("__rsalt") if salt > 1 else out
 

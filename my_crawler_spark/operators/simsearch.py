@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from .search import cosine
 
@@ -153,7 +153,15 @@ def ivf_index(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: centroids = deterministic sample (every
-    n/n_lists-th vector by id order), assignment by max cosine (one pass)."""
+    n/n_lists-th vector by id order), assignment by max cosine (one pass).
+
+    Assignment is ONE scalar pandas_udf: an argmax matmul of each Arrow
+    batch against the broadcast (n_lists, dim) centroid matrix — O(1) plan
+    size at any dim/list count, mirroring lsh_index's bucket_ids. (The old
+    column-expression variant chained n_lists when/otherwise nodes, each
+    embedding a dim-literal array — ~6k Catalyst nodes at 384-d x 16 lists,
+    the same analysis bomb the SRP path had.)
+    """
     n = embeddings.count()
     step = max(n // n_lists, 1)
     cents = (
@@ -163,13 +171,22 @@ def ivf_index(
         .collect()
     )
     centroids = [list(map(float, r[vec_col])) for r in cents]
-    best = None
-    for li, c in enumerate(centroids):
-        cv = F.array(*[F.lit(x) for x in c])
-        s = cosine(F.col(vec_col), cv)
-        cur = F.struct(s.alias("s"), F.lit(li).alias("list_id"))
-        best = cur if best is None else F.when(cur["s"] > best["s"], cur).otherwise(best)
-    assigned = embeddings.withColumn("list_id", best["list_id"])
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = embeddings.sparkSession.sparkContext.broadcast(Cn)
+
+    @F.pandas_udf(IntegerType())
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        Cb = bc.value  # (n_lists, D), unit rows
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        # ties keep the lowest list id (np.argmax = first max), matching the
+        # probe side's argsort order in ivf_topk
+        return pd.Series(np.argmax(V @ Cb.T, axis=1).astype(np.int32))
+
+    assigned = embeddings.withColumn("list_id", nearest_list(F.col(vec_col)))
     return assigned, centroids
 
 

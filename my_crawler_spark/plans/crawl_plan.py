@@ -40,7 +40,7 @@ from ..functions.url import (
 )
 from ..operators import bloom as bloom_mod
 from ..operators.extract import explode_chunks, extract_pages
-from ..operators.fetch import fetch_join, retry_token_cost
+from ..operators.fetch import chain_token_cost, fetch_join, max_redirect_hops
 from ..operators.frontier import FOLD_IN_COLS, admit_links, assign_seqs, gate_fold
 from ..operators.politeness import admit_prefix, py_robots_policy_allowed, robots_gate
 from ..sources.lake import Catalog, upsert_chunks_with_stale_delete
@@ -117,6 +117,15 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("partitions", T.IntegerType()),
     ]
 )
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("origin", T.StringType()),
+        T.StructField("entry_body", T.StringType()),
+        T.StructField("allow_all", T.BooleanType()),
+        T.StructField("ttl_secs", T.LongType()),
+        T.StructField("fetched_at", T.LongType()),
+    ]
+)
 REQUESTS_SCHEMA = T.StructType(
     [
         T.StructField("request_id", T.LongType()),
@@ -147,6 +156,10 @@ class CrawlRunner:
         host_buckets: int = 32,
         skew_salt: int | None = None,
         broadcast_round_ctl: bool = True,
+        robots_ttl_dynamic: bool = False,
+        robots_source_fn=None,
+        round_duration_secs: int = 16,
+        robots_broadcast_threshold: int = 1_000_000,
     ):
         # broadcast_round_ctl: the per-round crawled-row id set
         # (request_id, seq) is politeness-bounded (tokens_per_round x active
@@ -163,28 +176,53 @@ class CrawlRunner:
         # Partition the big web tables by url so every round's fetch join is
         # co-located (the 100 TB version buckets these once at ingest).
         self.pages = pages.repartition(host_buckets, "url").cache()
-        # per-attempt politeness cost (S2): webs that model Retry-After carry
-        # a retry_after_s column; webs without it are pre-S2 (unit cost) and
-        # skip the admission-side cost join entirely. At cluster scale both
-        # frontier and pages are bucketed by url, making this join co-located.
-        if "retry_after_s" in pages.columns:
-            self.page_cost = self.pages.select(
-                "url",
-                retry_token_cost(
-                    F.col("flaky_fail_times"), F.col("retry_after_s")
-                ).alias("token_cost"),
-            )
-        else:
-            self.page_cost = None
         self.redirects = redirects
         self.has_redirects = not redirects.isEmpty()
+        # chain bound: computed once here, makes every round's redirect hop
+        # loop probe-free (cuts ~11 serial driver actions/round to 0)
+        self.redirect_hops = (
+            max_redirect_hops(self.pages, redirects) if self.has_redirects else 0
+        )
+        # per-attempt politeness cost (S2) + per-hop chain cost (Q7): webs
+        # that model Retry-After carry a retry_after_s column; webs with
+        # redirect chains charge every hop (web_visitor.rs:193 acquires the
+        # limiter per hop). Webs with neither are pre-S2 (unit cost) and
+        # skip the admission-side cost join entirely. At cluster scale both
+        # frontier and pages are bucketed by url, making this join co-located.
+        has_retry = "retry_after_s" in pages.columns
+        if has_retry or self.redirect_hops > 0:
+            # localCheckpoint (eager): the chain closure is an O(hops^2)
+            # join tree; joined into the control set every round it would
+            # re-embed that whole subtree in each round's plan — and the
+            # fetch hop loop would then replicate it per hop, blowing up
+            # plan-string generation (observed: OOM in explainString).
+            # Checkpointing truncates the lineage to a scan. On a real
+            # cluster use a reliable checkpoint dir or write the dim to a
+            # table at ingest (it is static per web).
+            self.page_cost = chain_token_cost(
+                self.pages, redirects, self.redirect_hops, has_retry_after=has_retry
+            ).localCheckpoint()
+        else:
+            self.page_cost = None
         self.rendered = rendered  # S3 browser-view dim; None = no browser web
         self.images = images
         self.budgets = budgets
         self.use_bloom = use_bloom
-        # robots dim: apply the cache policy table once (robots.rs:100-134)
+        # robots cache dynamics (robots.rs:62-134): the robots "web" is a
+        # source of (origin, status, body) observations; the CACHE is policy
+        # rows with TTLs. Static mode (default) resolves the policy once at
+        # t=0 — the multi-hour shape where no entry expires mid-crawl.
+        # Dynamic mode (robots_ttl_dynamic) keeps the cache in a
+        # SnapshotTable and re-fetches expired origins each round at the
+        # logical clock now = (round-1) * round_duration_secs — the
+        # multi-day 100 TB shape (TTL 24 h ok / 5 min fail).
+        self.robots_ttl_dynamic = robots_ttl_dynamic
+        self.robots_source_fn = robots_source_fn or (lambda now: robots_pdf)
+        self.round_duration_secs = round_duration_secs
+        self.robots_broadcast_threshold = robots_broadcast_threshold
+        seed_source = self.robots_source_fn(0)
         rows = []
-        for r in robots_pdf.itertuples():
+        for r in seed_source.itertuples():
             body, allow_all, ttl = policy_for_status(int(r.status), r.body or "", None)
             rows.append((r.origin, body, bool(allow_all), int(ttl)))
         self.robots_pdf = pd.DataFrame(
@@ -204,6 +242,7 @@ class CrawlRunner:
         self.t_chunks = self.catalog.table("chunks", CHUNKS_SCHEMA)
         self.t_lineage = self.catalog.table("lineage", LINEAGE_SCHEMA)
         self.t_requests = self.catalog.table("requests", REQUESTS_SCHEMA)
+        self.t_robots = self.catalog.table("robots", ROBOTS_SCHEMA)
         # running url_seen row count (bloom sizing) — maintained from commit
         # footer counts; None = lazily initialized from the current snapshot
         self._seen_rows: int | None = None
@@ -216,6 +255,8 @@ class CrawlRunner:
         driver heap is exhausted (the round-1 resume-test flake)."""
         try:
             self.pages.unpersist()
+            if self.page_cost is not None:
+                self.page_cost.unpersist()
         except Exception:
             pass
 
@@ -381,6 +422,77 @@ class CrawlRunner:
         ]
         self.t_requests.commit(self.spark.createDataFrame(req_rows, REQUESTS_SCHEMA))
 
+    # ------------------------------------------------------------------ robots
+    def _robots_dim_for_round(self, round_no: int, to_check: DataFrame):
+        """-> (robots_dim, broadcast_flag) for this round's gate.
+
+        Static mode: the t=0 policy dim, always broadcast (current webs are
+        dimension-sized). Dynamic mode (robots.rs:69-97): read the cache
+        table, split fresh/expired at now = (round-1)*round_duration_secs,
+        re-resolve (expired ∪ uncached-but-needed) origins against the
+        robots source with the policy table in COLUMN form — 2xx parse
+        24 h / 4xx allow-all 24 h / 5xx stale-if-available else disallow
+        5 min (robots.rs:100-134) — and commit the merged cache. The dim is
+        broadcast only under robots_broadcast_threshold rows; above it the
+        gate join falls back to a shuffle join (10^8 origins is a table,
+        not a dim).
+        """
+        from ..functions.robots import (
+            ROBOTS_FAIL_TTL_SECS,
+            ROBOTS_MAX_BYTES,
+            ROBOTS_OK_TTL_SECS,
+        )
+
+        if not self.robots_ttl_dynamic:
+            return self.robots_dim, True
+        now = (round_no - 1) * self.round_duration_secs
+        cache = self.t_robots.read()
+        fresh = cache.filter(F.col("fetched_at") + F.col("ttl_secs") > F.lit(now))
+        needed = (
+            to_check.select("origin").distinct()
+            .join(fresh.select("origin"), "origin", "left_anti")
+        )
+        stale = cache.select("origin", F.col("entry_body").alias("__stale"))
+        src = self.spark.createDataFrame(
+            self.robots_source_fn(now)[["origin", "status", "body"]]
+        )
+        status = F.coalesce(F.col("status"), F.lit(404))  # no row = 404 fetch
+        is_2xx = (status >= 200) & (status < 300)
+        is_4xx = (status >= 400) & (status < 500)
+        resolved = (
+            needed.join(F.broadcast(src), "origin", "left")
+            .join(stale, "origin", "left")
+            .select(
+                "origin",
+                F.when(is_2xx, F.substring(F.col("body"), 1, ROBOTS_MAX_BYTES))
+                .when(is_4xx, F.lit(None).cast("string"))
+                .otherwise(F.col("__stale"))
+                .alias("entry_body"),
+                F.when(is_4xx, F.lit(True)).otherwise(F.lit(False)).alias("allow_all"),
+                F.when(
+                    ~is_2xx & ~is_4xx & F.col("__stale").isNull(),
+                    F.lit(ROBOTS_FAIL_TTL_SECS),
+                )
+                .otherwise(F.lit(ROBOTS_OK_TTL_SECS))
+                .cast("long")
+                .alias("ttl_secs"),
+                F.lit(now).cast("long").alias("fetched_at"),
+            )
+        )
+        # expired entries NOT touched this round stay cached: their body is
+        # the stale-if-error fallback for a future refresh (robots.rs:119-123)
+        keep_expired = cache.join(fresh.select("origin"), "origin", "left_anti").join(
+            needed.select("origin"), "origin", "left_anti"
+        )
+        merged = (
+            fresh.unionByName(resolved)
+            .unionByName(keep_expired)
+            .select(*[f.name for f in ROBOTS_SCHEMA])
+        )
+        self.t_robots.commit(merged, mode="overwrite")
+        dim = self.t_robots.read().select("origin", "entry_body", "allow_all")
+        return dim, self.t_robots.last_rows <= self.robots_broadcast_threshold
+
     # ------------------------------------------------------------------ round
     def run_round(self, round_no: int) -> int:
         """One BSP superstep. Returns number of frontier rows remaining."""
@@ -441,12 +553,26 @@ class CrawlRunner:
         if self.page_cost is not None:
             ctl = ctl.join(self.page_cost, "url", "left").withColumn(
                 "token_cost", F.coalesce("token_cost", F.lit(1).cast("long"))
+            ).withColumn(
+                "chain_hops", F.coalesce("chain_hops", F.lit(0).cast("int"))
             )
         round_caches: list = []
         hop_caches: list = []
         try:
             marked = admit_prefix(ctl, self.budgets).cache()
             round_caches.append(marked)
+            # per-round fetch hop bound: the max chain length among this
+            # round's fetchable rows (one tiny agg over the admission cache;
+            # replaces both the per-hop isEmpty probes and a MAX_REDIRECTS
+            # unroll — a redirect-free round plans a single classify pass)
+            round_hops = 0
+            if self.redirect_hops > 0 and "chain_hops" in marked.columns:
+                row = (
+                    marked.filter(F.col("admitted") & F.col("fetchable"))
+                    .agg(F.max("chain_hops"))
+                    .collect()[0]
+                )
+                round_hops = int(row[0] or 0)
             admitted = marked.filter("admitted").drop("admitted")
             deferred = marked.filter(~F.col("admitted")).select(
                 *[f.name for f in FRONTIER_SCHEMA]
@@ -458,7 +584,8 @@ class CrawlRunner:
             to_check = admitted.filter("fetchable").select(
                 "request_id", "seq", "url", "origin", "depth"
             )
-            checked = robots_gate(to_check, self.robots_dim)
+            robots_dim, robots_bcast = self._robots_dim_for_round(round_no, to_check)
+            checked = robots_gate(to_check, robots_dim, broadcast=robots_bcast)
             to_fetch = checked.filter("robots_allowed_flag").select(
                 "request_id", "seq", "url", "depth"
             ).join(
@@ -474,6 +601,7 @@ class CrawlRunner:
             fetched = fetch_join(
                 to_fetch, self.pages, self.redirects, has_redirects=self.has_redirects,
                 cache_registry=hop_caches, rendered=self.rendered,
+                max_hops=round_hops if self.redirect_hops > 0 else 0,
             ).select(
                 "request_id", "seq", "fetch_kind", "final_url", "blocked_url",
                 "outlinks", "image_id",

@@ -75,6 +75,63 @@ def test_small_dims_broadcast(spark, fixtures):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_admit_prefix_has_no_python_stage(spark, fixtures):
+    """The admission cumsum runs over the FULL frontier every round — it
+    must be a native window (codegen/spillable), with zero Arrow round
+    trips (the round-2 applyInPandas shipped the whole table to Python)."""
+    from my_crawler_spark.operators.politeness import admit_prefix
+
+    frontier = spark.createDataFrame(
+        [(1, f"https://h{i % 3}.example.com/p{i}", f"h{i % 3}.example.com",
+          0, i + 1, True) for i in range(20)],
+        "request_id long, url string, host string, depth int, seq long, fetchable boolean",
+    )
+    budgets = spark.createDataFrame(fixtures["politeness_budget"])
+    plan = explain_str(admit_prefix(frontier, budgets))
+    assert "Window" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in plan, f"python stage {node} in admission plan:\n{plan}"
+
+
+def test_admit_prefix_window_equals_grouped_map(spark, fixtures):
+    """The native-window admission must decide exactly like the grouped-map
+    twin on a frontier with mixed hosts, costs, and fetchable flags."""
+    import random
+
+    from my_crawler_spark.operators.politeness import (
+        admit_prefix,
+        admit_prefix_grouped_map,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for rid in (1, 2):
+        for seq in range(1, 120):
+            host = f"h{rng.randrange(4)}.example.com"
+            rows.append(
+                (rid, f"https://{host}/p{seq}", host, 0, seq,
+                 rng.random() < 0.8, rng.choice([1, 1, 1, 2, 5]))
+            )
+    frontier = spark.createDataFrame(
+        rows,
+        "request_id long, url string, host string, depth int, seq long, "
+        "fetchable boolean, token_cost long",
+    )
+    budgets = spark.createDataFrame(
+        [("h0.example.com", 3), ("h1.example.com", 1), ("h2.example.com", 8)],
+        "host string, tokens_per_round int",
+    )  # h3 missing -> default budget path
+    key = lambda r: (r.request_id, r.seq)
+    got = {key(r): r.admitted for r in admit_prefix(frontier, budgets).collect()}
+    want = {
+        key(r): r.admitted
+        for r in admit_prefix_grouped_map(frontier, budgets).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows) and any(got.values()) and not all(got.values())
+
+
 def test_skew_salted_extract_equals_plain(spark, fixtures):
     """Explicit salted replicate-join must be result-identical to the plain
     join (north_rule: salt the fan-out, never the semantics)."""

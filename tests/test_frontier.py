@@ -251,6 +251,87 @@ def test_retry_tokens_delay_host_pacing(spark, tmp_path):
     assert rounds_slow == {"p0": 1, "p1": 2, "p2": 3, "p3": 3, "p4": 3}
 
 
+def _mini_chain_fixtures(chain_hops: int):
+    """One host, seed p0 -> links [c0 (a chain_hops-long redirect chain to
+    cf), p2, p3, p4]. Budget 4 tokens/round."""
+    import pandas as pd
+
+    from my_crawler_spark.fixtures import make_images
+
+    host = "h9.example.com"
+
+    def page(u, **kv):
+        base = {
+            "url": u, "host": host, "status": 200, "content_type": "text/html",
+            "flaky_fail_times": 0, "body_len": 10_000,
+            "image_id": "img-00000000", "outlinks": [], "retry_after_s": 0,
+        }
+        base.update(kv)
+        return base
+
+    links = [f"https://{host}/c0"] + [f"https://{host}/p{i}" for i in (2, 3, 4)]
+    rows = [page(f"https://{host}/p0", outlinks=links)]
+    redirect_rows = []
+    for i in range(chain_hops):
+        src = f"https://{host}/c{i}"
+        dst = f"https://{host}/c{i + 1}" if i + 1 < chain_hops else f"https://{host}/cf"
+        rows.append(page(src, status=301))
+        redirect_rows.append({"src_url": src, "dst_url": dst})
+    rows.append(page(f"https://{host}/cf"))
+    rows += [page(u) for u in links[1:]]
+    if not chain_hops:  # c0 is then just a plain page
+        rows.append(page(f"https://{host}/c0"))
+    return {
+        "pages": pd.DataFrame(rows),
+        "redirects": pd.DataFrame(
+            redirect_rows
+            or [{"src_url": "https://unused.example.org/a",
+                 "dst_url": "https://unused.example.org/b"}]
+        ),
+        "images": make_images(seed=1, n=1),
+        "robots": pd.DataFrame(
+            [{"origin": f"https://{host}", "status": 200,
+              "body": "User-agent: *\nAllow: /\n"}]
+        ),
+        "sitemaps": pd.DataFrame(columns=["sitemap_url", "kind", "loc", "lastmod"]),
+        "seeds": pd.DataFrame(
+            [{"request_id": 1, "url": f"https://{host}/p0", "max_pages": 30,
+              "max_depth": 10, "same_domain": True}]
+        ),
+        "politeness_budget": pd.DataFrame(
+            [{"host": host, "tokens_per_round": 4}]
+        ),
+    }
+
+
+def test_redirect_chain_tokens_delay_host_pacing(spark, tmp_path):
+    """Q7 per-hop politeness: every redirect hop acquires its origin's
+    limiter (web_visitor.rs:186-217, acquire at :193), so a 3-hop chain
+    costs 4 tokens (3 redirect fetches + the final page) and pushes the
+    host's later URLs into the next round — while visit order and outcomes
+    are identical to the chain-free web (pacing, never reordering)."""
+
+    def run(fx, wd):
+        with make_runner(spark, fx, wd) as r:
+            assert r.redirect_hops == (3 if len(fx["redirects"]) == 3 else 0)
+            r.admit_requests(fx["seeds"])
+            r.run(max_rounds=20)
+            return (
+                r.t_visits.read().orderBy("seq")
+                .select("url", "outcome", "round").collect()
+            )
+
+    chain = run(_mini_chain_fixtures(chain_hops=3), tmp_path / "chain")
+    flat = run(_mini_chain_fixtures(chain_hops=0), tmp_path / "flat")
+    assert [(r.url, r.outcome) for r in chain] == [(r.url, r.outcome) for r in flat]
+    rounds_chain = {r.url.rsplit("/", 1)[1]: r.round for r in chain}
+    rounds_flat = {r.url.rsplit("/", 1)[1]: r.round for r in flat}
+    # flat web: all four links fit round 2's budget of 4
+    assert rounds_flat == {"p0": 1, "c0": 2, "p2": 2, "p3": 2, "p4": 2}
+    # chain web: c0's 4-token chain exhausts round 2; p2..p4 slip to round 3
+    assert rounds_chain == {"p0": 1, "c0": 2, "p2": 3, "p3": 3, "p4": 3}
+
+
 def test_browser_fetch_and_spa_fallback(crawl, fixtures):
     """S3: (a) the browser-mode request (use_browser=True) crawls via the
     rendered table; (b) a SPA page with a rendered row recovers content

@@ -121,6 +121,52 @@ def test_hazards_across_batch_boundaries(spark, small_batches):
     assert "blocked" in want.values() and "budget_skip" in want.values()
 
 
+def test_dup_row_redirect_does_not_pollute_visited(spark, small_batches):
+    """A row that is itself dup-skipped (its url already visited via an
+    earlier redirect final) must NOT mark its own redirect target visited —
+    the reference only touches the visited set for rows that reach gate 8
+    (crawl_loop.rs:203). Batch boundaries between the three actors force the
+    fast path to rely on carried state, where the round-2 code polluted
+    st.visited with skipped rows' finals."""
+    h = "https://dup.example.com"
+    rows = []
+    seq = 0
+
+    def add(**kw):
+        nonlocal seq
+        seq += 1
+        rows.append(_row(1, seq, **kw))
+
+    add(url=f"{h}/a", kind="ok", final=f"{h}/u1")  # crawls, marks u1 visited
+    for i in range(20):  # push the next actor into a later Arrow batch
+        add(url=f"{h}/pad{i}")
+    add(url=f"{h}/u1", kind="ok", final=f"{h}/ff")  # dup_skip; ff stays unvisited
+    for i in range(20, 40):
+        add(url=f"{h}/pad{i}")
+    add(url=f"{h}/ff")  # reference crawls this
+    # same hazard fully inside one segment (vectorized path must also mask)
+    add(url=f"{h}/b", kind="ok", final=f"{h}/u2")
+    add(url=f"{h}/u2", kind="ok", final=f"{h}/gg")
+    add(url=f"{h}/gg")
+
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "request_id long, seq long, url string, depth int, origin string, "
+        "pre_visited boolean, pre_blocked boolean, robots_allowed_flag boolean, "
+        "fetch_kind string, final_url string, blocked_url string, "
+        "final_is_trap boolean, has_chunks boolean, max_pages int, "
+        "max_depth int, crawled_so_far long",
+    )
+    got = {(r.request_id, r.seq): r.outcome for r in gate_fold(df).collect()}
+    want = _python_twin(rows)
+    assert got == want
+    by_url = {r[2]: want[(r[0], r[1])] for r in rows}
+    assert by_url[f"{h}/u1"] == "dup_skip"
+    assert by_url[f"{h}/ff"] == "crawled"  # the round-2 bug dup_skipped this
+    assert by_url[f"{h}/u2"] == "dup_skip"
+    assert by_url[f"{h}/gg"] == "crawled"
+
+
 def test_million_row_round_streams(spark):
     """One request, 10^6 control rows: with the default 10k-row Arrow batch
     cap the fold holds at most one batch as a frame (the round-1 residency

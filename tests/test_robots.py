@@ -89,6 +89,9 @@ def test_vectorized_gate_equals_per_row_matcher(spark):
         "https://a.com/search?q=test", "https://a.com/search?q=safe",
         "https://a.com/search", "https://a.com/tmp/file", "https://a.com",
         "https://a.com?q=1", "https://a.com/TMP/upper",
+        # fragments: urlsplit (scalar path) drops them — vectorized must too
+        "https://a.com/data.json#frag", "https://a.com/private/x#a/b",
+        "https://a.com/search?q=test#x", "https://a.com/#frag",
     ]
     rows = spark.createDataFrame(
         [("https://a.com", u) for u in urls], ["origin", "url"]
@@ -99,3 +102,107 @@ def test_vectorized_gate_equals_per_row_matcher(spark):
     got = {r.url: r.robots_allowed_flag for r in robots_gate(rows, dim).collect()}
     for u in urls:
         assert got[u] == robots_allowed(body, PRODUCT_TOKEN, u), u
+
+
+def test_robots_gate_shuffle_join_fallback(spark):
+    """Above the broadcast threshold robots is a table, not a dim: the gate
+    must work identically through a plain shuffle join (broadcast=False)."""
+    from my_crawler_spark.operators.politeness import robots_gate
+
+    rows = spark.createDataFrame(
+        [(f"https://h{i % 3}.com", f"https://h{i % 3}.com/p{i}") for i in range(30)]
+        + [("https://h0.com", "https://h0.com/private/x")],
+        ["origin", "url"],
+    )
+    dim = spark.createDataFrame(
+        [(f"https://h{j}.com", "User-agent: *\nDisallow: /private\n", False)
+         for j in range(3)],
+        ["origin", "entry_body", "allow_all"],
+    )
+    bc = {(r.origin, r.url): r.robots_allowed_flag
+          for r in robots_gate(rows, dim, broadcast=True).collect()}
+    sj = {(r.origin, r.url): r.robots_allowed_flag
+          for r in robots_gate(rows, dim, broadcast=False).collect()}
+    assert bc == sj and len(bc) == 31
+    assert not bc[("https://h0.com", "https://h0.com/private/x")]
+    # and the plan actually switches strategy
+    import contextlib
+    from io import StringIO
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        robots_gate(rows, dim, broadcast=False).explain("formatted")
+    assert "BroadcastHashJoin" not in buf.getvalue()
+
+
+def test_robots_ttl_expiry_flips_verdict_mid_crawl(spark, tmp_path):
+    """S4 TTL dynamics (robots.rs:69-97): a robots entry fetched in round 1
+    (Disallow: /b, TTL 24 h) expires mid-crawl under a large logical round
+    duration; the refresh observes a permissive robots and the /b URL —
+    still queued thanks to politeness pacing — crawls instead of being
+    robots-skipped. The static-mode twin run keeps skipping it."""
+    import pandas as pd
+
+    from my_crawler_spark.fixtures import make_images
+    from my_crawler_spark.plans.crawl_plan import CrawlRunner
+
+    host = "h7.example.com"
+    origin = f"https://{host}"
+    urls = [f"{origin}/p0"] + [f"{origin}/f{i}" for i in range(4)] + [f"{origin}/b/x"]
+
+    def page(u, links=()):
+        return {
+            "url": u, "host": host, "status": 200, "content_type": "text/html",
+            "flaky_fail_times": 0, "body_len": 1000,
+            "image_id": "img-00000000", "outlinks": list(links),
+        }
+
+    pages = pd.DataFrame([page(urls[0], urls[1:])] + [page(u) for u in urls[1:]])
+
+    def robots_source(now):
+        # 0..86400s: Disallow /b (TTL 24 h); after expiry: allow everything
+        body = "User-agent: *\nDisallow: /b\n" if now < 86400 else "User-agent: *\n"
+        return pd.DataFrame([{"origin": origin, "status": 200, "body": body}])
+
+    def run(dynamic):
+        wd = tmp_path / ("dyn" if dynamic else "static")
+        runner = CrawlRunner(
+            spark, str(wd),
+            pages=spark.createDataFrame(pages),
+            redirects=spark.createDataFrame(
+                [], "src_url string, dst_url string"
+            ),
+            images=spark.createDataFrame(make_images(seed=1, n=1)),
+            robots_pdf=robots_source(0),
+            sitemaps_pdf=pd.DataFrame(columns=["sitemap_url", "kind", "loc", "lastmod"]),
+            budgets=spark.createDataFrame(
+                [(host, 2)], "host string, tokens_per_round int"
+            ),
+            use_bloom=False,
+            robots_ttl_dynamic=dynamic,
+            robots_source_fn=robots_source,
+            round_duration_secs=50_000,  # rounds 1..3 at t=0/50k/100k; expiry at 86400
+        )
+        try:
+            runner.admit_requests(pd.DataFrame(
+                [{"request_id": 1, "url": urls[0], "max_pages": 30,
+                  "max_depth": 5, "same_domain": True}]
+            ))
+            runner.run(max_rounds=20)
+            return {
+                r.url: (r.outcome, r.round)
+                for r in runner.t_visits.read().collect()
+            }
+        finally:
+            runner.close()
+
+    dyn = run(dynamic=True)
+    static = run(dynamic=False)
+    # pacing: seed r1; f0,f1 r2; f2,f3 r3; /b/x r4 (t=150k, after the r4
+    # refresh at now=150k > 86400 flips the verdict)
+    assert static[f"{origin}/b/x"][0] == "robots"
+    assert dyn[f"{origin}/b/x"][0] == "crawled"
+    assert dyn[f"{origin}/b/x"][1] >= 3
+    # everything else identical between modes
+    for u in urls[:-1]:
+        assert dyn[u] == static[u]

@@ -68,6 +68,32 @@ def test_ivf_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_ivf_384d_plan_is_small_and_fast(spark):
+    """Regression for the IVF centroid-assignment expression bomb: at 384-d
+    x 16 lists the old when/otherwise chain built ~6k Catalyst nodes; the
+    pandas_udf argmax keeps the plan O(1) in dim and list count."""
+    import time
+
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.standard_normal(384).astype(float).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    t0 = time.time()
+    assigned, cents = SS.ivf_index(df, n_lists=16)
+    queries = [(i, rows[i][1]) for i in range(3)]
+    got = SS.ivf_topk(assigned, cents, queries, k=10, n_probe=4).collect()
+    assert time.time() - t0 < 30  # expression-tree variant: minutes
+    assert len(cents) == 16
+    brute = SS.brute_force_topk(df, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    by_b = {}
+    for r in brute:
+        by_b.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(by_q.get(q, set()) & by_b[q]) / 10 for q in by_b]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
 def test_lsh_384d_plan_is_small_and_fast(spark):
     """Regression for the SRP bucket expression bomb: at the engine's real
     embedding dimensionality (384, operators/extract.py EMBED_DIM) the
