@@ -337,7 +337,8 @@ def run_scaling(runs_per_level: int = 2):
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — two-parallelism scaling evidence\n\n"
-            f"Protocol: same job, same input ({COPIES * 150_000 * 2} urls at sf0.1,\n"
+            f"Protocol: same job, same input ({results[hi]['urls_processed']} urls"
+            " processed at sf0.1,\n"
             f"COPIES={COPIES}), local[{lo}] vs local[{hi}]\n"
             "(N and 4N cores); efficiency = (T_4N / T_N) / 4 for throughput T.\n\n"
             "| parallelism | frontier throughput (urls/sec) | urls | seconds |\n"

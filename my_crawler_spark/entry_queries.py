@@ -1728,6 +1728,72 @@ ORACLES["retry_cost"] = SQL_RETRY_COST
 
 
 # --------------------------------------------------------------------------
+# S2 Retry-After header parsing, BOTH forms (web_visitor.rs:255-262):
+# delta-seconds and HTTP-date, with garbage treated as header-absent
+# --------------------------------------------------------------------------
+_RA_BASE = 1_700_000_000  # fixed "now" for deterministic HTTP-date deltas
+
+
+def q_retry_after_parse(spark, sf_dir) -> DataFrame:
+    from .operators.fetch import retry_after_seconds
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    k = F.col("o_orderkey")
+    # k%4==0: delta-seconds; 1: future HTTP-date; 2: past HTTP-date
+    # (clamped to 0); 3: garbage (-> NULL, header treated absent)
+    header = (
+        F.when(k % 4 == 0, (k % 120).cast("string"))
+        .when(
+            k % 4 == 1,
+            F.from_unixtime(
+                F.lit(_RA_BASE) + (k % 900), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.from_unixtime(
+                F.lit(_RA_BASE) - (k % 900), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+            ),
+        )
+        .otherwise(F.lit("soon"))
+    )
+    return o.select(
+        k.alias("key"),
+        header.alias("header"),
+        retry_after_seconds(header, F.lit(_RA_BASE)).alias("delay_s"),
+    )
+
+
+SQL_RETRY_AFTER_PARSE = f"""
+    WITH rows_ AS (
+      SELECT o_orderkey AS key,
+             CASE
+               WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey % 120 AS VARCHAR)
+               WHEN o_orderkey % 4 = 1 THEN strftime(
+                 to_timestamp({_RA_BASE} + o_orderkey % 900) AT TIME ZONE 'UTC',
+                 '%a, %d %b %Y %H:%M:%S GMT')
+               WHEN o_orderkey % 4 = 2 THEN strftime(
+                 to_timestamp({_RA_BASE} - o_orderkey % 900) AT TIME ZONE 'UTC',
+                 '%a, %d %b %Y %H:%M:%S GMT')
+               ELSE 'soon'
+             END AS header
+      FROM orders WHERE o_orderkey < 3000)
+    SELECT key, header,
+           CASE
+             WHEN regexp_matches(header, '^[0-9]+$') THEN CAST(header AS BIGINT)
+             WHEN try_strptime(header, '%a, %d %b %Y %H:%M:%S GMT') IS NOT NULL
+               THEN greatest(CAST(epoch(try_strptime(header,
+                    '%a, %d %b %Y %H:%M:%S GMT')) AS BIGINT) - {_RA_BASE}, 0)
+             ELSE NULL
+           END AS delay_s
+    FROM rows_
+"""
+
+QUERIES["retry_after_parse"] = q_retry_after_parse
+ORACLES["retry_after_parse"] = SQL_RETRY_AFTER_PARSE
+
+
+# --------------------------------------------------------------------------
 # S5 sitemap XML parsing (sitemap.rs:88-99) — synthesize real urlset XML
 # (half of it gzipped) from documents, parse through the Arrow stage, and
 # check against the generator's inverse in SQL

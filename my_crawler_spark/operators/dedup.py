@@ -263,12 +263,46 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    lsh_dim: int | None = None,
+    lsh_bits: int = 8,
+    lsh_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine >= threshold. Optional
-    blocking column bounds the self-join (at scale: LSH buckets from
-    operators/simsearch.py)."""
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.
+
+    Blocking (pick one; the unblocked crossJoin is the correctness
+    baseline, quadratic — never the scale path):
+    - ``block_col``: a caller-provided partition key (label, shard, ...).
+    - ``lsh_dim``: SRP-LSH buckets from operators/simsearch.py as the block
+      key — candidates = pairs colliding in >= 1 of ``lsh_tables`` bucket
+      tables, exact-cosine verified, deduped. High-cosine pairs collide
+      with probability (1 - theta/pi)^bits per table, so recall is tuned by
+      (bits, tables); at 100 TB bucket ids double as the embeddings
+      table's partition key and each bucket joins co-located.
+    """
     from .search import cosine
 
+    if lsh_dim is not None:
+        from .simsearch import lsh_index
+
+        idx = lsh_index(
+            embeddings.select(id_col, vec_col), dim=lsh_dim,
+            n_bits=lsh_bits, n_tables=lsh_tables, id_col=id_col, vec_col=vec_col,
+        )
+        a = idx.select("table", "bucket", F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("v_a"))
+        b = idx.select("table", "bucket", F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("v_b"))
+        cands = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "v_a", "id_b", "v_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cands.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
                           *( [F.col(block_col).alias("blk")] if block_col else []))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),

@@ -65,6 +65,48 @@ def retry_token_cost(flaky_col: F.Column, retry_after_col: F.Column) -> F.Column
     return attempts + F.floor(delay / 2).cast("long")
 
 
+def retry_after_seconds(header_col: F.Column, now_epoch_col: F.Column) -> F.Column:
+    """Parse a Retry-After header into delay seconds — BOTH forms the
+    reference accepts (web_visitor.rs:255-262): delta-seconds (``"120"``)
+    and HTTP-date (``"Wed, 21 Oct 2015 07:28:00 GMT"``, seconds until that
+    instant, clamped at 0 for past dates). Unparseable values -> NULL
+    (header treated as absent, falling back to exponential backoff).
+
+    Pure column expressions (rlike + to_timestamp), so a raw-header ingest
+    maps header -> retry_after_s without leaving codegen. ``now_epoch_col``
+    is the fetch-time clock (a literal in deterministic webs).
+    """
+    digits = header_col.rlike(r"^[0-9]+$")
+    # Spark >= 3 cannot PARSE day-of-week ("EEE") patterns: validate the
+    # RFC 1123 shape with a regex, strip the weekday, parse the rest.
+    # try_to_timestamp: unparseable dates yield NULL instead of raising
+    # under ANSI mode.
+    rfc1123 = header_col.rlike(
+        r"^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} "
+        r"[0-9]{2}:[0-9]{2}:[0-9]{2} GMT$"
+    )
+    http_date = F.when(
+        rfc1123,
+        F.try_to_timestamp(
+            F.substring(header_col, 6, 64), F.lit("dd MMM yyyy HH:mm:ss 'GMT'")
+        ),
+    )
+    return (
+        F.when(header_col.isNull(), F.lit(None).cast("long"))
+        .when(digits, header_col.cast("long"))
+        .when(
+            # greatest() skips NULLs, so gate on parse success explicitly —
+            # an unparseable date must stay NULL (header treated absent)
+            http_date.isNotNull(),
+            F.greatest(
+                http_date.cast("long") - now_epoch_col.cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
 def _effective_redirect(status_col: F.Column, flaky_col: F.Column) -> F.Column:
     """A page actually answers 3xx only when it isn't flaky: flaky pages
     answer 5xx then 200 on retry, and retry-exhausted pages fail before the

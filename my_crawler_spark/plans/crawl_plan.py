@@ -117,6 +117,13 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("partitions", T.IntegerType()),
     ]
 )
+PAGE_COST_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("token_cost", T.LongType()),
+        T.StructField("chain_hops", T.IntegerType()),
+    ]
+)
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("origin", T.StringType()),
@@ -189,21 +196,7 @@ class CrawlRunner:
         # limiter per hop). Webs with neither are pre-S2 (unit cost) and
         # skip the admission-side cost join entirely. At cluster scale both
         # frontier and pages are bucketed by url, making this join co-located.
-        has_retry = "retry_after_s" in pages.columns
-        if has_retry or self.redirect_hops > 0:
-            # localCheckpoint (eager): the chain closure is an O(hops^2)
-            # join tree; joined into the control set every round it would
-            # re-embed that whole subtree in each round's plan — and the
-            # fetch hop loop would then replicate it per hop, blowing up
-            # plan-string generation (observed: OOM in explainString).
-            # Checkpointing truncates the lineage to a scan. On a real
-            # cluster use a reliable checkpoint dir or write the dim to a
-            # table at ingest (it is static per web).
-            self.page_cost = chain_token_cost(
-                self.pages, redirects, self.redirect_hops, has_retry_after=has_retry
-            ).localCheckpoint()
-        else:
-            self.page_cost = None
+        self.page_cost = None  # set below, after the catalog exists
         self.rendered = rendered  # S3 browser-view dim; None = no browser web
         self.images = images
         self.budgets = budgets
@@ -243,6 +236,25 @@ class CrawlRunner:
         self.t_lineage = self.catalog.table("lineage", LINEAGE_SCHEMA)
         self.t_requests = self.catalog.table("requests", REQUESTS_SCHEMA)
         self.t_robots = self.catalog.table("robots", ROBOTS_SCHEMA)
+        # per-attempt + per-hop politeness cost dim (S2/Q7), WRITTEN ONCE at
+        # init: the chain closure is an O(hops^2) join tree; joined into the
+        # control set every round it would re-embed that subtree in every
+        # round's plan (and the fetch hop loop replicates lineage per hop) —
+        # observed to OOM the driver just generating plan strings. Snapshot-
+        # table-backing truncates the lineage to a parquet scan with no
+        # persisted blocks to leak across runners — and is the 100 TB shape
+        # anyway (a static dim belongs in a table written at ingest).
+        has_retry = "retry_after_s" in pages.columns
+        if has_retry or self.redirect_hops > 0:
+            t_cost = self.catalog.table("page_cost", PAGE_COST_SCHEMA)
+            t_cost.commit(
+                chain_token_cost(
+                    self.pages, redirects, self.redirect_hops,
+                    has_retry_after=has_retry,
+                ).select(*[f.name for f in PAGE_COST_SCHEMA]),
+                mode="overwrite",
+            )
+            self.page_cost = t_cost.read()
         # running url_seen row count (bloom sizing) — maintained from commit
         # footer counts; None = lazily initialized from the current snapshot
         self._seen_rows: int | None = None
@@ -255,8 +267,6 @@ class CrawlRunner:
         driver heap is exhausted (the round-1 resume-test flake)."""
         try:
             self.pages.unpersist()
-            if self.page_cost is not None:
-                self.page_cost.unpersist()
         except Exception:
             pass
 

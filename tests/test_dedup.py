@@ -81,3 +81,30 @@ def test_embedding_near_duplicates(spark):
     got = {(r.id_a, r.id_b) for r in
            D.embedding_near_duplicates(emb, threshold=0.95, block_col="label").collect()}
     assert got == {(1, 2)}  # 3 dissimilar; 4 in another block
+
+
+def test_embedding_near_duplicates_lsh_blocked(spark):
+    """The SRP-LSH-blocked path (the 100 TB shape: no crossJoin) must find
+    the same high-cosine pairs as the exact quadratic baseline — near-dup
+    pairs are near-parallel, so they collide in >= 1 bucket table with
+    overwhelming probability at these (bits, tables)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        rows.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        # a deliberate near-duplicate of each vector
+        w = v + rng.standard_normal(16) * 0.02
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.id_a, r.id_b) for r in
+             D.embedding_near_duplicates(emb, threshold=0.97).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           D.embedding_near_duplicates(
+               emb, threshold=0.97, lsh_dim=16, lsh_bits=6, lsh_tables=8
+           ).collect()}
+    assert lsh <= exact  # exact-cosine verify: no false positives
+    planted = {(2 * i, 2 * i + 1) for i in range(60)} & exact
+    assert len(lsh & planted) >= 0.9 * len(planted)
