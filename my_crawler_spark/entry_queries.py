@@ -1050,6 +1050,104 @@ SQL_LSH_ANN_SOUND = """
 """
 
 
+def q_ivf_sound(spark, sf_dir) -> DataFrame:
+    """IVF-ANN results are never fabricated (mirror of q_lsh_ann_sound for
+    the coarse-quantized path): every reported (query, vec, cos, rank) must
+    (a) carry the TRUE cosine of that pair — recomputed against vectors
+    re-read from the table — (b) reference an existing vec_id, and (c) have
+    ranks consistent with descending cosine within the probed candidate
+    set. (Recall is a tuned property tested in test_simsearch; a probed
+    list may legitimately miss a global top-k neighbor.) Violations must be
+    empty."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(map(float, r.embedding)))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    assigned, cents = SS.ivf_index(emb, n_lists=16)
+    ann = SS.ivf_topk(assigned, cents, qs, k=10, n_probe=4)
+    from .operators.search import cosine
+
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in qs], "query_id long, qv array<double>"
+    )
+    truth = (
+        emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("ev"))
+        .crossJoin(F.broadcast(qdf))
+        .select("query_id", "v2", cosine(F.col("ev"), F.col("qv")).alias("cos_true"))
+    )
+    rank_by_cos = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    )
+    return (
+        ann.withColumn("rank_by_cos", rank_by_cos)
+        .join(
+            truth,
+            (ann["query_id"] == truth["query_id"]) & (ann["vec_id"] == F.col("v2")),
+            "left",
+        )
+        .drop(truth["query_id"])
+        .filter(
+            F.col("cos_true").isNull()
+            | (F.abs(F.col("cos") - F.col("cos_true")) > 1e-6)
+            | (F.col("rank") != F.col("rank_by_cos"))
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+    )
+
+
+SQL_IVF_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS vec_id
+    WHERE 1 = 0
+"""
+
+
+def q_embedding_sound(spark, sf_dir) -> DataFrame:
+    """embedding_near_duplicates reports only REAL near-dup pairs: every
+    (id_a, id_b, cos) must (a) carry the TRUE cosine — recomputed from
+    vectors re-read from the table by an independent plan — (b) reference
+    existing ids with id_a < id_b, (c) clear the threshold, and (d) appear
+    at most once. (Recall of the LSH-blocked variant is a tuned property
+    tested in test_dedup; soundness is the invariant.) Violations must be
+    empty."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rep = D.embedding_near_duplicates(emb, threshold=0.3, block_col="label")
+    from .operators.search import cosine
+
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    dup = (
+        rep.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("cos").alias("cos"))
+    )
+    return (
+        dup.join(va, "id_a", "left")
+        .join(vb, "id_b", "left")
+        .withColumn("cos_true", cosine(F.col("__va"), F.col("__vb")))
+        .filter(
+            F.col("__va").isNull()
+            | F.col("__vb").isNull()
+            | (F.col("__n") > 1)
+            | (F.col("id_a") >= F.col("id_b"))
+            | (F.abs(F.col("cos") - F.col("cos_true")) > 1e-6)
+            | (F.col("cos_true") < 0.3)
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+    )
+
+
+SQL_EMBEDDING_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+    WHERE 1 = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Q3-Q7 full crawl-gate semantics, DuckDB-oracled (VERDICT r2 item #1):
 # a deterministic multi-gate web (robots disallows, 403 origin blocking,
@@ -1336,6 +1434,8 @@ QUERIES = {
     "minhash_sound": q_minhash_sound,
     "simhash_sound": q_simhash_sound,
     "lsh_ann_sound": q_lsh_ann_sound,
+    "ivf_sound": q_ivf_sound,
+    "embedding_sound": q_embedding_sound,
     # rows-only (no SQL-expressible oracle)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1373,6 +1473,8 @@ ORACLES = {
     "minhash_sound": SQL_MINHASH_SOUND,
     "simhash_sound": SQL_SIMHASH_SOUND,
     "lsh_ann_sound": SQL_LSH_ANN_SOUND,
+    "ivf_sound": SQL_IVF_SOUND,
+    "embedding_sound": SQL_EMBEDDING_SOUND,
 }
 
 

@@ -1,7 +1,7 @@
 """Similarity search over embedding columns (array<float>).
 
 - brute_force_topk : exact cosine top-k per query — the correctness
-  baseline; one scan + TakeOrderedAndProject, JVM-side arithmetic
+  baseline; one scan + window top-k, JVM-side arithmetic
   (zip_with/aggregate), no Python.
 - lsh_topk         : random-hyperplane (SRP) LSH-bucketed ANN — the scale
   path. Vectors hash to `n_tables` bucket keys; a query probes its buckets
@@ -13,6 +13,13 @@
 
 At 100 TB the bucketed variants turn an all-pairs scan into a partition-
 pruned read: bucket id is the partition key of the embeddings table.
+
+Batch-query shape: every rescorer takes its query set as ONE broadcast
+(query_id, qv) DataFrame joined against the candidate set, with cosine
+computed once as a single column — plan size is O(1) in query count. (The
+previous per-query `filter(query_id == qid)` union loop embedded a
+dim-literal array per query and grew the plan linearly — a planner bomb at
+batch sizes; see tests/test_simsearch.py::test_batch_query_plan_is_flat.)
 """
 
 from __future__ import annotations
@@ -26,6 +33,23 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 from .search import cosine
 
 
+def _queries_df(spark, queries: list[tuple[int, list[float]]]) -> DataFrame:
+    """Tiny (query_id, qv) dim — always broadcast into the rescoring join."""
+    return spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id long, qv array<double>",
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -33,23 +57,19 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """-> (query_id, vec_id, cos, rank) for each query vector."""
-    parts = []
-    for qid, vec in queries:
-        q = F.array(*[F.lit(float(x)) for x in vec])
-        scored = embeddings.select(
-            F.lit(qid).alias("query_id"),
-            F.col(id_col),
-            cosine(F.col(vec_col), q).alias("cos"),
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
-        parts.append(
-            scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """-> (query_id, vec_id, cos, rank) for each query vector.
+
+    One broadcast-nested-loop join of the scan against the (query_id, qv)
+    dim + one cosine column: each embeddings row is scored against every
+    query in a single pass, whatever the batch size.
+    """
+    qdf = _queries_df(embeddings.sparkSession, queries)
+    scored = embeddings.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("qv")).alias("cos"),
+    )
+    return _rank_topk(scored, k, id_col)
 
 
 def _srp_planes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
@@ -109,7 +129,12 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Probe each query's buckets across tables, exact-rescore the union."""
+    """Probe each query's buckets across tables, exact-rescore the union.
+
+    Two broadcast joins, both O(1) in plan size: (query_id, table, bucket)
+    probes prune the index scan, then the (query_id, qv) dim supplies each
+    candidate's query vector for a single cosine column.
+    """
     planes = _srp_planes(dim, n_bits, n_tables, seed)
     weights = 1 << np.arange(n_bits, dtype=np.int64)
     probes = []
@@ -120,29 +145,37 @@ def lsh_topk(
         bits = np.tensordot(v, planes, axes=([1], [2]))[0] > 0  # (T, n_bits)
         for t, row in enumerate(bits.astype(np.int64) @ weights):
             probes.append((qid, t, int(row)))
-    probe_df = index.sparkSession.createDataFrame(
-        probes, "query_id long, table int, bucket long"
+    spark = index.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, table int, bucket long")
+    cands = (
+        index.join(F.broadcast(probe_df), ["table", "bucket"])
+        .select("query_id", id_col, vec_col)
+        .distinct()
     )
-    cands = index.join(
-        F.broadcast(probe_df), ["table", "bucket"]
-    ).select("query_id", id_col, vec_col).distinct()
-    qmap = {qid: vec for qid, vec in queries}
-    parts = []
-    for qid, vec in qmap.items():
-        q = F.array(*[F.lit(float(x)) for x in vec])
-        parts.append(
-            cands.filter(F.col("query_id") == qid).withColumn(
-                "cos", cosine(F.col(vec_col), q)
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    qdf = _queries_df(spark, queries)
+    scored = cands.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("qv")).alias("cos"),
+    )
+    return _rank_topk(scored, k, id_col)
+
+
+def centroid_sample(
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The n_lists rows with the smallest xxhash64(id): a deterministic
+    pseudo-random sample whose plan is a distributed top-k
+    (TakeOrderedAndProject — per-partition local top-k, driver merge), with
+    no unpartitioned Window, no count() action, and no single-task stage.
+    Exposed separately so tests can assert the plan shape."""
     return (
-        u.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "cos", "rank")
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_lists)
     )
 
 
@@ -152,8 +185,16 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: centroids = deterministic sample (every
-    n/n_lists-th vector by id order), assignment by max cosine (one pass).
+    """IVF coarse quantizer: centroids = the n_lists rows with the smallest
+    xxhash64(id) — a deterministic pseudo-random sample — assignment by max
+    cosine (one pass).
+
+    Centroid selection is a distributed top-k (orderBy + limit compiles to
+    TakeOrderedAndProject: each partition keeps its local n_lists smallest
+    hashes, the driver merges) — no global window, no count() action, no
+    single-task stage, so selection cost is O(n/partitions) per task at any
+    table size. (The previous row_number() over an unpartitioned
+    Window.orderBy(id) funneled the WHOLE table through one task.)
 
     Assignment is ONE scalar pandas_udf: an argmax matmul of each Arrow
     batch against the broadcast (n_lists, dim) centroid matrix — O(1) plan
@@ -162,15 +203,8 @@ def ivf_index(
     embedding a dim-literal array — ~6k Catalyst nodes at 384-d x 16 lists,
     the same analysis bomb the SRP path had.)
     """
-    n = embeddings.count()
-    step = max(n // n_lists, 1)
-    cents = (
-        embeddings.select(id_col, vec_col)
-        .withColumn("__rn", F.row_number().over(Window.orderBy(id_col)))
-        .filter((F.col("__rn") % step == 0) & (F.col("__rn") / step <= n_lists))
-        .collect()
-    )
-    centroids = [list(map(float, r[vec_col])) for r in cents]
+    cents = centroid_sample(embeddings, n_lists, id_col, vec_col).collect()
+    centroids = [list(map(float, r[vec_col])) for r in cents]  # bounded: n_lists rows
     C = np.asarray(centroids, dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     bc = embeddings.sparkSession.sparkContext.broadcast(Cn)
@@ -199,28 +233,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Probe each query's n_probe nearest lists, exact-rescore the union.
+
+    List selection is a driver-side numpy matmul against the (tiny)
+    centroid matrix; the cluster work is one broadcast (query_id, list_id)
+    probe join pruning the assigned table + one broadcast (query_id, qv)
+    join feeding a single cosine column — O(1) plan size in query count.
+    """
     cents = np.asarray(centroids, dtype=np.float64)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    parts = []
+    probes = []
     for qid, vec in queries:
         v = np.asarray(vec, dtype=np.float64)
         v = v / max(np.linalg.norm(v), 1e-12)
-        lists = np.argsort(-(cn @ v))[:n_probe].tolist()
-        q = F.array(*[F.lit(float(x)) for x in vec])
-        parts.append(
-            assigned.filter(F.col("list_id").isin(lists))
-            .select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col),
-                cosine(F.col(vec_col), q).alias("cos"),
-            )
+        for lid in np.argsort(-(cn @ v))[:n_probe].tolist():
+            probes.append((int(qid), int(lid)))
+    spark = assigned.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    qdf = _queries_df(spark, queries)
+    scored = (
+        assigned.join(F.broadcast(probe_df), "list_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("qv")).alias("cos"),
         )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
-    return (
-        u.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "cos", "rank")
     )
+    return _rank_topk(scored, k, id_col)

@@ -110,3 +110,49 @@ def test_lsh_384d_plan_is_small_and_fast(spark):
     assert time.time() - t0 < 30  # expression-tree variant: minutes
     got = SS.lsh_topk(idx, [(0, rows[0][1])], dim=384, k=5, n_bits=8, n_tables=4).collect()
     assert any(r.vec_id == 0 and r.rank == 1 for r in got)
+
+
+def test_centroid_sample_plan_is_distributed_topk(spark, emb):
+    """VERDICT r3 #1: the IVF centroid pick must be a TakeOrderedAndProject
+    (per-partition local top-k, driver merge) — no unpartitioned Window
+    funneling the whole embeddings table through one task, and no extra
+    count() action."""
+    df, _ = emb
+    plan = SS.centroid_sample(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_batch_100_queries_plan_builds_fast(spark):
+    """VERDICT r3 #2: rescoring is one broadcast-join plan whatever the
+    query count — 100 queries must analyze in seconds (the old per-query
+    filter+union loop grew the plan linearly and became a planner bomb)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(DIM).astype(float).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = [(i, rows[i][1]) for i in range(100)]
+
+    t0 = time.time()
+    brute = SS.brute_force_topk(df, queries, k=5)
+    brute.schema  # forces analysis
+    idx = SS.lsh_index(df, dim=DIM, n_bits=4, n_tables=4)
+    lsh = SS.lsh_topk(idx, queries, dim=DIM, k=5, n_bits=4, n_tables=4)
+    lsh.schema
+    assigned, cents = SS.ivf_index(df, n_lists=8)
+    ivf = SS.ivf_topk(assigned, cents, queries, k=5, n_probe=4)
+    ivf.schema
+    assert time.time() - t0 < 5.0
+
+    # and the batched plans still answer correctly: every query's own
+    # vector ranks first in the exact scorer and appears in the LSH probe
+    got = {(r.query_id, r.rank): r.vec_id for r in brute.collect()}
+    for q, _ in queries[:10]:
+        assert got[(q, 1)] == q
+    lsh_top = {}
+    for r in lsh.collect():
+        lsh_top.setdefault(r.query_id, set()).add(r.vec_id)
+    for q, _ in queries[:10]:
+        assert q in lsh_top[q]
