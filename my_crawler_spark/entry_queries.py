@@ -1792,10 +1792,15 @@ def q_retry_cost(spark, sf_dir) -> DataFrame:
     from .operators.fetch import retry_token_cost
 
     o = _t(spark, sf_dir, "orders")
+    # tri-state header: k%13==12 -> NULL (absent -> backoff); k%13==0 ->
+    # explicit Retry-After: 0 (sleeps 0 s, web_visitor.rs:255-262)
     pages = o.select(
         F.col("o_orderkey").alias("page_id"),
         (F.col("o_orderkey") % 5).cast("int").alias("flaky_fail_times"),
-        (F.col("o_orderkey") % 13).cast("int").alias("retry_after_s"),
+        F.when(F.col("o_orderkey") % 13 == 12, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 13)
+        .cast("int")
+        .alias("retry_after_s"),
     ).filter(F.col("page_id") < 2000)
     return pages.select(
         "page_id", "flaky_fail_times", "retry_after_s",
@@ -1809,13 +1814,14 @@ SQL_RETRY_COST = """
     WITH pages AS (
       SELECT o_orderkey AS page_id,
              CAST(o_orderkey % 5 AS INTEGER) AS flaky_fail_times,
-             CAST(o_orderkey % 13 AS INTEGER) AS retry_after_s
+             CASE WHEN o_orderkey % 13 = 12 THEN NULL
+                  ELSE CAST(o_orderkey % 13 AS INTEGER) END AS retry_after_s
       FROM orders WHERE o_orderkey < 2000),
     costed AS (
       SELECT *,
              LEAST(flaky_fail_times + 1, 3) AS attempts,
-             CASE WHEN retry_after_s > 0 THEN retry_after_s ELSE 1 END AS d0,
-             CASE WHEN retry_after_s > 0 THEN retry_after_s ELSE 2 END AS d1
+             CASE WHEN retry_after_s IS NOT NULL THEN retry_after_s ELSE 1 END AS d0,
+             CASE WHEN retry_after_s IS NOT NULL THEN retry_after_s ELSE 2 END AS d1
       FROM pages)
     SELECT page_id, flaky_fail_times, retry_after_s,
            CAST(attempts + FLOOR(
@@ -1842,7 +1848,8 @@ def q_retry_after_parse(spark, sf_dir) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     k = F.col("o_orderkey")
     # k%4==0: delta-seconds; 1: future HTTP-date; 2: past HTTP-date
-    # (clamped to 0); 3: garbage (-> NULL, header treated absent)
+    # (-> NULL: duration_since().ok() is None -> backoff); 3: garbage
+    # (-> NULL, header treated absent)
     header = (
         F.when(k % 4 == 0, (k % 120).cast("string"))
         .when(
@@ -1884,8 +1891,10 @@ SQL_RETRY_AFTER_PARSE = f"""
            CASE
              WHEN regexp_matches(header, '^[0-9]+$') THEN CAST(header AS BIGINT)
              WHEN try_strptime(header, '%a, %d %b %Y %H:%M:%S GMT') IS NOT NULL
-               THEN greatest(CAST(epoch(try_strptime(header,
-                    '%a, %d %b %Y %H:%M:%S GMT')) AS BIGINT) - {_RA_BASE}, 0)
+                  AND CAST(epoch(try_strptime(header,
+                      '%a, %d %b %Y %H:%M:%S GMT')) AS BIGINT) >= {_RA_BASE}
+               THEN CAST(epoch(try_strptime(header,
+                    '%a, %d %b %Y %H:%M:%S GMT')) AS BIGINT) - {_RA_BASE}
              ELSE NULL
            END AS delay_s
     FROM rows_

@@ -229,10 +229,15 @@ def make_web(
     df = pd.concat([df, chain_rows], ignore_index=True)
 
     # Retry-After (S2, web_visitor.rs:255-271): flaky pages advertise a
-    # delay; 0 means pure exponential backoff. Deterministic from position.
-    df["retry_after_s"] = 0
+    # delay; NULL means header absent (pure exponential backoff) — the
+    # tri-state matches the reference's Option<Duration>, where an explicit
+    # 0 would sleep 0 s. Deterministic from position.
+    df["retry_after_s"] = pd.array([pd.NA] * len(df), dtype="Int64")
     flaky_idx = df.index[df.flaky_fail_times > 0]
-    df.loc[flaky_idx, "retry_after_s"] = (flaky_idx % 3) * 4  # 0 / 4 / 8 s
+    vals = (flaky_idx % 3) * 4  # absent / 4 s / 8 s
+    df.loc[flaky_idx, "retry_after_s"] = pd.array(
+        [pd.NA if v == 0 else int(v) for v in vals], dtype="Int64"
+    )
 
     # outlinks: raw hrefs with canonicalization noise
     lr = _rng(seed, "links")

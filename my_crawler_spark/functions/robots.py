@@ -152,7 +152,11 @@ def policy_for_status(status: int, body: str, stale_body: str | None):
     body=None + allow_all=False -> hard disallow (5 min TTL)
     """
     if 200 <= status < 300:
-        return body[: ROBOTS_MAX_BYTES], False, ROBOTS_OK_TTL_SECS
+        # BYTE cap, not chars: the reference caps the fetched byte stream
+        # (robots.rs:86) then from_utf8_lossy's it — a rule straddling the
+        # cap decodes to U+FFFD the same way here
+        capped = body.encode("utf-8")[:ROBOTS_MAX_BYTES].decode("utf-8", "replace")
+        return capped, False, ROBOTS_OK_TTL_SECS
     if 400 <= status < 500:
         return None, True, ROBOTS_OK_TTL_SECS
     if stale_body is not None:

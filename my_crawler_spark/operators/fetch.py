@@ -50,13 +50,18 @@ def retry_token_cost(flaky_col: F.Column, retry_after_col: F.Column) -> F.Column
     cost exactly 1 token, so admission is unchanged for them; retried rows
     eat into their host's round budget, pushing the host's later URLs into
     later rounds — pure pacing, never a gate change (strict-prefix rounds).
+
+    Tri-state header, matching the reference's Option<Duration>: NULL =
+    header absent -> exponential backoff; any non-NULL value INCLUDING 0 =
+    Some(v) -> sleep exactly v (an explicit ``Retry-After: 0`` sleeps 0 s,
+    it does NOT fall back to backoff; web_visitor.rs:161,255-262).
     """
-    ra = F.coalesce(retry_after_col, F.lit(0)).cast("long")
+    ra = retry_after_col.cast("long")
     attempts = F.least(
         F.coalesce(flaky_col, F.lit(0)).cast("long") + 1, F.lit(MAX_ATTEMPTS).cast("long")
     )
-    d0 = F.when(ra > 0, ra).otherwise(F.lit(1).cast("long"))  # after attempt 0
-    d1 = F.when(ra > 0, ra).otherwise(F.lit(2).cast("long"))  # after attempt 1
+    d0 = F.when(ra.isNotNull(), ra).otherwise(F.lit(1).cast("long"))  # after attempt 0
+    d1 = F.when(ra.isNotNull(), ra).otherwise(F.lit(2).cast("long"))  # after attempt 1
     delay = (
         F.when(attempts >= 3, d0 + d1)
         .when(attempts == 2, d0)
@@ -69,8 +74,10 @@ def retry_after_seconds(header_col: F.Column, now_epoch_col: F.Column) -> F.Colu
     """Parse a Retry-After header into delay seconds — BOTH forms the
     reference accepts (web_visitor.rs:255-262): delta-seconds (``"120"``)
     and HTTP-date (``"Wed, 21 Oct 2015 07:28:00 GMT"``, seconds until that
-    instant, clamped at 0 for past dates). Unparseable values -> NULL
-    (header treated as absent, falling back to exponential backoff).
+    instant). A PAST date yields NULL — the reference's
+    ``date.duration_since(now).ok()`` is ``None`` there, falling back to
+    exponential backoff — while an exactly-now date is ``Some(0)`` (sleep
+    0 s). Unparseable values -> NULL (header treated as absent).
 
     Pure column expressions (rlike + to_timestamp), so a raw-header ingest
     maps header -> retry_after_s without leaving codegen. ``now_epoch_col``
@@ -95,13 +102,12 @@ def retry_after_seconds(header_col: F.Column, now_epoch_col: F.Column) -> F.Colu
         F.when(header_col.isNull(), F.lit(None).cast("long"))
         .when(digits, header_col.cast("long"))
         .when(
-            # greatest() skips NULLs, so gate on parse success explicitly —
-            # an unparseable date must stay NULL (header treated absent)
-            http_date.isNotNull(),
-            F.greatest(
-                http_date.cast("long") - now_epoch_col.cast("long"),
-                F.lit(0).cast("long"),
-            ),
+            # gate on parse success explicitly — an unparseable date must
+            # stay NULL; a PAST date also stays NULL (duration_since().ok()
+            # is None -> backoff), only now-or-future dates produce Some(d)
+            http_date.isNotNull()
+            & (http_date.cast("long") - now_epoch_col.cast("long") >= 0),
+            http_date.cast("long") - now_epoch_col.cast("long"),
         )
         .otherwise(F.lit(None).cast("long"))
     )
@@ -180,7 +186,8 @@ def chain_token_cost(
     (tiny vs the pages table); the big side is touched once to build the
     per-page cost and once per chain step as the probe side of an equi-join.
     """
-    ra = F.col("retry_after_s") if has_retry_after else F.lit(0)
+    # webs without the column have no header anywhere: NULL = absent
+    ra = F.col("retry_after_s") if has_retry_after else F.lit(None).cast("long")
     base = (
         pages.select(
             "url",

@@ -214,16 +214,25 @@ class CrawlRunner:
         self.round_duration_secs = round_duration_secs
         self.robots_broadcast_threshold = robots_broadcast_threshold
         seed_source = self.robots_source_fn(0)
-        rows = []
-        for r in seed_source.itertuples():
-            body, allow_all, ttl = policy_for_status(int(r.status), r.body or "", None)
-            rows.append((r.origin, body, bool(allow_all), int(ttl)))
-        self.robots_pdf = pd.DataFrame(
-            rows, columns=["origin", "entry_body", "allow_all", "ttl_secs"]
-        )
-        self.robots_dim = spark.createDataFrame(
-            self.robots_pdf[["origin", "entry_body", "allow_all"]]
-        )
+        if isinstance(seed_source, DataFrame):
+            # DataFrame-native source (10^8 origins is a table, not a dim):
+            # the t=0 policy resolution stays relational — nothing is
+            # materialized on the driver (VERDICT r3 item #6).
+            self.robots_pdf = None
+            self.robots_dim = self._resolve_policies(seed_source).select(
+                "origin", "entry_body", "allow_all"
+            )
+        else:
+            rows = []
+            for r in seed_source.itertuples():
+                body, allow_all, ttl = policy_for_status(int(r.status), r.body or "", None)
+                rows.append((r.origin, body, bool(allow_all), int(ttl)))
+            self.robots_pdf = pd.DataFrame(
+                rows, columns=["origin", "entry_body", "allow_all", "ttl_secs"]
+            )
+            self.robots_dim = spark.createDataFrame(
+                self.robots_pdf[["origin", "entry_body", "allow_all"]]
+            )
         self.sitemaps_pdf = sitemaps_pdf
         # state tables
         self.t_frontier = self.catalog.table("frontier", FRONTIER_SCHEMA)
@@ -258,6 +267,15 @@ class CrawlRunner:
         # running url_seen row count (bloom sizing) — maintained from commit
         # footer counts; None = lazily initialized from the current snapshot
         self._seen_rows: int | None = None
+        # requests dim changes only at admit/seed time, but run_round
+        # re-reads and RE-BROADCASTS it every round; caching the scan keeps
+        # the per-round broadcast build a memory read instead of a parquet
+        # read + decode (level-independent driver cost — the 4->16 scaling
+        # residual). Invalidated on every t_requests commit.
+        self._requests_cache: DataFrame | None = None
+        # budgets / static robots are per-crawl constants: pin them too
+        self.budgets = self.budgets.cache()
+        self.robots_dim = self.robots_dim.cache()
 
     def close(self) -> None:
         """Release the runner's pinned caches (the bucketed pages table).
@@ -265,10 +283,26 @@ class CrawlRunner:
         Long pytest sessions construct many runners against one shared JVM;
         without this the per-runner ``pages.cache()`` accumulates until the
         driver heap is exhausted (the round-1 resume-test flake)."""
-        try:
-            self.pages.unpersist()
-        except Exception:
-            pass
+        for df in (self.pages, self.budgets, self.robots_dim, self._requests_cache):
+            try:
+                if df is not None:
+                    df.unpersist()
+            except Exception:
+                pass
+
+    def _requests_df(self) -> DataFrame:
+        """The requests dim, cached across rounds (constant between admits)."""
+        if self._requests_cache is None:
+            self._requests_cache = self.t_requests.read().cache()
+        return self._requests_cache
+
+    def _invalidate_requests(self) -> None:
+        if self._requests_cache is not None:
+            try:
+                self._requests_cache.unpersist()
+            except Exception:
+                pass
+            self._requests_cache = None
 
     def __enter__(self):
         return self
@@ -323,9 +357,25 @@ class CrawlRunner:
     def admit_requests(self, seeds_pdf: pd.DataFrame) -> list[int]:
         """add_crawl_request + seed-time sitemap seeding (crawl_loop.rs:61-69,
         106-141). Returns accepted request_ids."""
-        robots_by_origin = {
-            r.origin: (r.entry_body, r.allow_all) for r in self.robots_pdf.itertuples()
-        }
+        if self.robots_pdf is not None:
+            robots_by_origin = {
+                r.origin: (r.entry_body, r.allow_all)
+                for r in self.robots_pdf.itertuples()
+            }
+        else:
+            # DataFrame-native robots source: pull policies for the SEED
+            # origins only — bounded by the request batch, not the table
+            seed_origins = {
+                py_origin(c)
+                for c in (py_canonicalize_url(s.url) for s in seeds_pdf.itertuples())
+                if c is not None
+            }
+            robots_by_origin = {
+                r.origin: (r.entry_body, r.allow_all)
+                for r in self.robots_dim.filter(
+                    F.col("origin").isin(sorted(seed_origins))
+                ).collect()
+            }
         accepted, req_rows, frontier_rows, state_rows = [], [], [], []
         for s in seeds_pdf.itertuples():
             seed = py_canonicalize_url(s.url)
@@ -340,18 +390,21 @@ class CrawlRunner:
             )
             seq = 1
             frontier_rows.append((int(s.request_id), seed, _host_of(seed), 0, seq))
+            enqueued = {seed}  # per-request dup check: O(1) lookup, not a
+            # scan of every frontier row appended so far (O(n^2) at the
+            # 10k-sitemap-pages/request cap)
             body, allow_all = robots_by_origin.get(origin, (None, True))
             if py_robots_policy_allowed(body, allow_all, seed):
                 declared = robots_sitemaps(body)
                 for u in self._discover_sitemap_pages(seed, declared, int(s.max_pages)):
-                    if py_is_crawl_trap(u) or u == seed:
+                    if py_is_crawl_trap(u) or u in enqueued:
                         continue
-                    if any(fr[1] == u and fr[0] == int(s.request_id) for fr in frontier_rows):
-                        continue
+                    enqueued.add(u)
                     seq += 1
                     frontier_rows.append((int(s.request_id), u, _host_of(u), 1, seq))
             state_rows.append((int(s.request_id), 0, seq))
         self.t_requests.commit(self.spark.createDataFrame(req_rows, REQUESTS_SCHEMA))
+        self._invalidate_requests()
         self.t_frontier.commit(
             self.spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA), mode="overwrite"
         )
@@ -385,6 +438,7 @@ class CrawlRunner:
                 REQUESTS_SCHEMA,
             )
         )
+        self._invalidate_requests()
         self.t_frontier.commit(rows, mode="append")
         self.t_state.commit(
             self.spark.createDataFrame([(request_id, 0, n)], STATE_SCHEMA)
@@ -431,8 +485,62 @@ class CrawlRunner:
             for rid, seed, mp, md, sd in requests
         ]
         self.t_requests.commit(self.spark.createDataFrame(req_rows, REQUESTS_SCHEMA))
+        self._invalidate_requests()
 
     # ------------------------------------------------------------------ robots
+    def _source_df(self, now: int) -> tuple[DataFrame, bool]:
+        """The robots source as (DataFrame of (origin, status, body),
+        is_dim_sized).
+
+        Accepts either shape from ``robots_source_fn``: a Spark DataFrame
+        (the 100 TB path — joins stay relational, nothing touches the
+        driver, is_dim_sized=False) or a pandas frame (fixture webs —
+        converted with an EXPLICIT schema so a zero-row refresh round
+        cannot crash on schema inference; always broadcast-sized)."""
+        src = self.robots_source_fn(now)
+        if isinstance(src, DataFrame):
+            return src.select("origin", "status", "body"), False
+        return (
+            self.spark.createDataFrame(
+                src[["origin", "status", "body"]],
+                schema="origin string, status long, body string",
+            ),
+            True,
+        )
+
+    @staticmethod
+    def _truncated_body() -> F.Column:
+        """robots body capped at ROBOTS_MAX_BYTES BYTES (robots.rs:86 caps
+        the fetched byte stream, then from_utf8_lossy) — encode, slice the
+        binary, decode; a rule straddling the cap decodes lossily exactly
+        like the reference."""
+        from ..functions.robots import ROBOTS_MAX_BYTES
+
+        return F.decode(
+            F.substring(F.encode(F.col("body"), "UTF-8"), 1, ROBOTS_MAX_BYTES),
+            "UTF-8",
+        )
+
+    def _resolve_policies(self, src: DataFrame) -> DataFrame:
+        """policy_for_status (robots.rs:100-134) in COLUMN form, no-stale
+        case: 2xx parse 24 h / 4xx allow-all 24 h / else disallow 5 min."""
+        from ..functions.robots import ROBOTS_FAIL_TTL_SECS, ROBOTS_OK_TTL_SECS
+
+        status = F.coalesce(F.col("status"), F.lit(404))
+        is_2xx = (status >= 200) & (status < 300)
+        is_4xx = (status >= 400) & (status < 500)
+        return src.select(
+            "origin",
+            F.when(is_2xx, self._truncated_body())
+            .otherwise(F.lit(None).cast("string"))
+            .alias("entry_body"),
+            F.when(is_4xx, F.lit(True)).otherwise(F.lit(False)).alias("allow_all"),
+            F.when(is_2xx | is_4xx, F.lit(ROBOTS_OK_TTL_SECS))
+            .otherwise(F.lit(ROBOTS_FAIL_TTL_SECS))
+            .cast("long")
+            .alias("ttl_secs"),
+        )
+
     def _robots_dim_for_round(self, round_no: int, to_check: DataFrame):
         """-> (robots_dim, broadcast_flag) for this round's gate.
 
@@ -447,11 +555,7 @@ class CrawlRunner:
         gate join falls back to a shuffle join (10^8 origins is a table,
         not a dim).
         """
-        from ..functions.robots import (
-            ROBOTS_FAIL_TTL_SECS,
-            ROBOTS_MAX_BYTES,
-            ROBOTS_OK_TTL_SECS,
-        )
+        from ..functions.robots import ROBOTS_FAIL_TTL_SECS, ROBOTS_OK_TTL_SECS
 
         if not self.robots_ttl_dynamic:
             return self.robots_dim, True
@@ -462,31 +566,45 @@ class CrawlRunner:
             to_check.select("origin").distinct()
             .join(fresh.select("origin"), "origin", "left_anti")
         )
-        stale = cache.select("origin", F.col("entry_body").alias("__stale"))
-        src = self.spark.createDataFrame(
-            self.robots_source_fn(now)[["origin", "status", "body"]]
+        stale = cache.select(
+            "origin",
+            F.col("entry_body").alias("__stale"),
+            F.col("fetched_at").alias("__stale_at"),
+            F.col("ttl_secs").alias("__stale_ttl"),
         )
+        src, src_is_dim = self._source_df(now)
         status = F.coalesce(F.col("status"), F.lit(404))  # no row = 404 fetch
         is_2xx = (status >= 200) & (status < 300)
         is_4xx = (status >= 400) & (status < 500)
+        # 5xx with a stale body keeps the WHOLE stale entry — including its
+        # original (already-expired) fetched_at/ttl, so the origin is due
+        # for re-fetch on its next access instead of freezing the stale
+        # body for a fresh 24 h (robots.rs:119-123 re-inserts `stale`
+        # unchanged).
+        stale_hit = ~is_2xx & ~is_4xx & F.col("__stale").isNotNull()
+        # fixture (pandas) sources stay a broadcast dim; a DataFrame source
+        # is table-sized, so the join is left to AQE (shuffle or broadcast
+        # by measured size)
+        src_j = F.broadcast(src) if src_is_dim else src
         resolved = (
-            needed.join(F.broadcast(src), "origin", "left")
+            needed.join(src_j, "origin", "left")
             .join(stale, "origin", "left")
             .select(
                 "origin",
-                F.when(is_2xx, F.substring(F.col("body"), 1, ROBOTS_MAX_BYTES))
+                F.when(is_2xx, self._truncated_body())
                 .when(is_4xx, F.lit(None).cast("string"))
                 .otherwise(F.col("__stale"))
                 .alias("entry_body"),
                 F.when(is_4xx, F.lit(True)).otherwise(F.lit(False)).alias("allow_all"),
-                F.when(
-                    ~is_2xx & ~is_4xx & F.col("__stale").isNull(),
-                    F.lit(ROBOTS_FAIL_TTL_SECS),
-                )
+                F.when(stale_hit, F.col("__stale_ttl"))
+                .when(~is_2xx & ~is_4xx, F.lit(ROBOTS_FAIL_TTL_SECS))
                 .otherwise(F.lit(ROBOTS_OK_TTL_SECS))
                 .cast("long")
                 .alias("ttl_secs"),
-                F.lit(now).cast("long").alias("fetched_at"),
+                F.when(stale_hit, F.col("__stale_at"))
+                .otherwise(F.lit(now))
+                .cast("long")
+                .alias("fetched_at"),
             )
         )
         # expired entries NOT touched this round stay cached: their body is
@@ -532,7 +650,7 @@ class CrawlRunner:
             seen_rows = self.t_seen.count_rows()
         blocked = self.t_blocked.read()
         state = self.t_state.read()
-        requests = self.t_requests.read()
+        requests = self._requests_df()
 
         ctl = (
             frontier.join(

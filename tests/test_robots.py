@@ -206,3 +206,154 @@ def test_robots_ttl_expiry_flips_verdict_mid_crawl(spark, tmp_path):
     # everything else identical between modes
     for u in urls[:-1]:
         assert dyn[u] == static[u]
+
+
+def _mini_runner(spark, tmp_path, robots_source_fn, robots_pdf, name,
+                 round_duration_secs=50_000):
+    import pandas as pd
+
+    from my_crawler_spark.fixtures import make_images
+    from my_crawler_spark.plans.crawl_plan import CrawlRunner
+
+    host = "h9.example.com"
+    origin = f"https://{host}"
+    pages = pd.DataFrame([{
+        "url": f"{origin}/p0", "host": host, "status": 200,
+        "content_type": "text/html", "flaky_fail_times": 0, "body_len": 100,
+        "image_id": "img-00000000", "outlinks": [],
+    }])
+    return CrawlRunner(
+        spark, str(tmp_path / name),
+        pages=spark.createDataFrame(pages),
+        redirects=spark.createDataFrame([], "src_url string, dst_url string"),
+        images=spark.createDataFrame(make_images(seed=1, n=1)),
+        robots_pdf=robots_pdf,
+        sitemaps_pdf=pd.DataFrame(columns=["sitemap_url", "kind", "loc", "lastmod"]),
+        budgets=spark.createDataFrame([(host, 2)], "host string, tokens_per_round int"),
+        use_bloom=False,
+        robots_ttl_dynamic=True,
+        robots_source_fn=robots_source_fn,
+        round_duration_secs=round_duration_secs,
+    ), origin
+
+
+def test_stale_robots_keeps_original_fetched_at(spark, tmp_path):
+    """ADVICE r3: a 5xx-with-stale refresh re-inserts the stale entry
+    UNCHANGED — original (expired) fetched_at/ttl — so the origin is due
+    again on its next access (robots.rs:119-123) instead of freezing the
+    stale body for a fresh 24 h. Timeline (round_duration=50k, TTL=86400):
+    r1 fetch disallow-/b; r3 (t=100k) expired -> 500 -> stale kept, still
+    expired; r4 (t=150k) refetched -> permissive. The frozen-stale bug
+    would keep the disallow until t=186.4k."""
+    import pandas as pd
+
+    from my_crawler_spark.functions.robots import origin_allowed
+    from my_crawler_spark.operators.politeness import PRODUCT_TOKEN
+
+    def source(now):
+        if now < 86_400:
+            body, status = "User-agent: *\nDisallow: /b\n", 200
+        elif now < 120_000:
+            body, status = None, 500
+        else:
+            body, status = "User-agent: *\n", 200
+        return pd.DataFrame([{"origin": origin, "status": status, "body": body}])
+
+    host = "h9.example.com"
+    origin = f"https://{host}"
+    runner, origin = _mini_runner(spark, tmp_path, source, source(0), "stale")
+    try:
+        to_check = spark.createDataFrame(
+            [(origin, f"{origin}/b/x")], ["origin", "url"]
+        )
+        runner._robots_dim_for_round(1, to_check)
+        cache1 = runner.t_robots.read().collect()[0]
+        assert cache1.fetched_at == 0 and cache1.ttl_secs == 86_400
+
+        runner._robots_dim_for_round(3, to_check)  # t=100k: expired -> 500
+        cache3 = runner.t_robots.read().collect()[0]
+        assert cache3.entry_body and "Disallow: /b" in cache3.entry_body
+        assert cache3.fetched_at == 0, "stale entry must keep original fetched_at"
+        assert cache3.ttl_secs == 86_400
+
+        dim4, _ = runner._robots_dim_for_round(4, to_check)  # t=150k: due again
+        row = dim4.collect()[0]
+        assert origin_allowed(row.entry_body, row.allow_all, PRODUCT_TOKEN,
+                              f"{origin}/b/x")
+        cache4 = runner.t_robots.read().collect()[0]
+        assert cache4.fetched_at == 150_000
+    finally:
+        runner.close()
+
+
+def test_dynamic_robots_dataframe_source(spark, tmp_path):
+    """VERDICT r3 #6: robots_source_fn may return a Spark DataFrame — the
+    refresh path then has NO driver-side pandas materialization of the
+    source, and a zero-row refresh round must not crash on schema
+    inference (empty pandas sources get an explicit schema too)."""
+    import pandas as pd
+
+    from my_crawler_spark.functions.robots import origin_allowed
+    from my_crawler_spark.operators.politeness import PRODUCT_TOKEN
+
+    host = "h9.example.com"
+    origin = f"https://{host}"
+
+    def df_source(now):
+        body = "User-agent: *\nDisallow: /b\n" if now < 86_400 else "User-agent: *\n"
+        return spark.createDataFrame(
+            [(origin, 200, body)], "origin string, status long, body string"
+        )
+
+    runner, origin = _mini_runner(spark, tmp_path, df_source, None, "dfsrc")
+    try:
+        assert runner.robots_pdf is None  # DataFrame-native init path
+        to_check = spark.createDataFrame([(origin, f"{origin}/b/x")], ["origin", "url"])
+        dim1, _ = runner._robots_dim_for_round(1, to_check)
+        r1 = dim1.collect()[0]
+        assert not origin_allowed(r1.entry_body, r1.allow_all, PRODUCT_TOKEN,
+                                  f"{origin}/b/x")
+        dim3, _ = runner._robots_dim_for_round(3, to_check)  # t=100k: refreshed
+        r3 = dim3.collect()[0]
+        assert origin_allowed(r3.entry_body, r3.allow_all, PRODUCT_TOKEN,
+                              f"{origin}/b/x")
+        # admit_requests works without a pandas policy table (seed-origin
+        # bounded collect)
+        accepted = runner.admit_requests(pd.DataFrame(
+            [{"request_id": 1, "url": f"{origin}/p0", "max_pages": 5,
+              "max_depth": 2, "same_domain": True}]
+        ))
+        assert accepted == [1]
+    finally:
+        runner.close()
+
+
+def test_empty_pandas_robots_source_has_schema(spark, tmp_path):
+    """A refresh round where the pandas source returns ZERO rows used to
+    crash createDataFrame with 'can not infer schema from empty dataset'."""
+    import pandas as pd
+
+    def source(now):
+        if now == 0:
+            return pd.DataFrame(
+                [{"origin": "https://h9.example.com", "status": 200,
+                  "body": "User-agent: *\n"}]
+            )
+        return pd.DataFrame(columns=["origin", "status", "body"])
+
+    runner, origin = _mini_runner(spark, tmp_path, source, source(0), "empty",
+                                  round_duration_secs=200_000)
+    try:
+        to_check = spark.createDataFrame(
+            [(origin, f"{origin}/p0"), ("https://new.example.com",
+                                        "https://new.example.com/x")],
+            ["origin", "url"],
+        )
+        runner._robots_dim_for_round(1, to_check)
+        # round 2 (t=200k): entry expired AND a new origin appears; the
+        # empty source must resolve both as 404 allow-all without crashing
+        dim2, _ = runner._robots_dim_for_round(2, to_check)
+        rows = {r.origin: r for r in dim2.collect()}
+        assert rows["https://new.example.com"].allow_all
+    finally:
+        runner.close()
