@@ -266,6 +266,18 @@ def admit_links(
     """
     # extract_links filters (web_visitor.rs:315-331): scheme drop happens via
     # canonicalize returning NULL; file-URL drop; then enqueue trap filter.
+    #
+    # Canonicalize-ONCE barrier: without the repartition below, Catalyst
+    # substitutes the (20-regex) canonicalize tree into every consumer of
+    # `url` — the two filter conjuncts here, the same-origin gate, the three
+    # bloom hash columns, and both anti-join keys — re-evaluating it ~8x per
+    # link (FilterExec conjuncts are short-circuit-evaluated with no CSE
+    # across them). The exchange materializes the canonical url as a plain
+    # attribute, and it costs ~nothing net: the seen anti-join shuffles on
+    # exactly (request_id, url), so this exchange REPLACES that one rather
+    # than adding to it. Measured on the 19.2M-link bench round at
+    # local[16]: filters+hashes dropped from ~112 s to the single ~26 s
+    # canonicalize pass.
     links = (
         crawled_rows.select(
             "request_id",
@@ -275,6 +287,8 @@ def admit_links(
         )
         .withColumn("url", canonicalize_url(F.col("href")))
         .filter(F.col("url").isNotNull())
+        .drop("href")
+        .repartition("request_id", "url")
         .filter(~looks_like_file_url(F.col("url")))
         .filter(~is_crawl_trap(F.col("url")))  # enqueue trap gate (crawl_loop.rs:263)
     )
