@@ -284,6 +284,47 @@ def measure_cpu_ceiling(levels: tuple[int, int]) -> dict:
     return {"t_n": round(t_n, 2), "t_4n": round(t_n4, 2), "ceiling_eff": round(eff, 3)}
 
 
+def _disk_burn(arg):
+    """Write-and-fsync a fixed byte volume; module-level for Pool.map."""
+    import os
+    import tempfile
+
+    idx, mb = arg
+    block = os.urandom(1 << 20)
+    with tempfile.NamedTemporaryFile(dir="/tmp", prefix=f"dburn{idx}-") as f:
+        for _ in range(mb):
+            f.write(block)
+        f.flush()
+        os.fsync(f.fileno())
+    return mb
+
+
+def measure_disk_ceiling(levels: tuple[int, int], mb_per_proc: int = 256) -> dict:
+    """The box's parallel-WRITE ceiling, Spark-free: identical fsync'd byte
+    volume per process at N and 4N processes. The crawl's commit phase
+    writes the round's chunk embeddings (~1.5 KB/url — ~7 GB per 4.8M-url
+    round), and on this single-VM sandbox every "executor" shares ONE
+    backing disk, so the write path has its own, usually LOWER, ceiling
+    than the CPU probe. On a real cluster disk bandwidth scales with
+    executor count; here it is a fixed denominator that bounds any
+    N -> 4N efficiency the commit phase can show."""
+    import multiprocessing as mp
+
+    def best_time(procs, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_disk_burn, [(i, mb_per_proc) for i in range(procs)])
+            best = min(best, time.time() - t0)
+        return best
+
+    n, n4 = levels
+    t_n, t_n4 = best_time(n), best_time(n4)
+    eff = (n4 / t_n4) / (n / t_n) / 4.0
+    return {"t_n": round(t_n, 2), "t_4n": round(t_n4, 2), "ceiling_eff": round(eff, 3)}
+
+
 def run_scaling(runs_per_level: int = 2):
     """Two-parallelism evidence (BASELINE.json: N vs 4N executors).
 
@@ -297,6 +338,7 @@ def run_scaling(runs_per_level: int = 2):
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
     )
     ceiling = measure_cpu_ceiling(levels)
+    disk_ceiling = measure_disk_ceiling(levels)
     # samples accumulate across invocations (BENCH/scaling_raw.json): on a
     # shared-host VM any single pair of runs is noise-dominated (observed
     # 30% swings at fixed code+config), so the protocol is best-of-ALL
@@ -310,6 +352,7 @@ def run_scaling(runs_per_level: int = 2):
     except FileNotFoundError:
         hist = {"samples": {}, "ceilings": []}
     hist["ceilings"].append(ceiling)
+    hist.setdefault("disk_ceilings", []).append(disk_ceiling)
     raw: dict[int, list] = {c: [] for c in levels}
     for cpus in levels:
         for _ in range(runs_per_level):
@@ -352,7 +395,18 @@ def run_scaling(runs_per_level: int = 2):
             f"measurement(s)): {ceiling['ceiling_eff']:.3f} "
             f"(N: {ceiling['t_n']}s, 4N: {ceiling['t_4n']}s); all measurements: "
             + ", ".join(f"{c['ceiling_eff']:.3f}" for c in hist["ceilings"])
-            + ".\nThis shared-host VM advertises 32 cores but delivers ~21\n"
+            + ".\n\nDisk-WRITE ceiling at these levels (Spark-free fsync'd "
+            "256 MiB/process\nprobe — the crawl commit phase writes ~1.5 KB "
+            "of chunk embeddings per\nurl to the ONE shared disk of this "
+            "sandbox VM): best across "
+            f"{len(hist.get('disk_ceilings') or [1])} measurement(s): "
+            + (", ".join(
+                f"{c['ceiling_eff']:.3f} (N: {c['t_n']}s, 4N: {c['t_4n']}s)"
+                for c in hist.get("disk_ceilings", [])
+            ) or "n/a")
+            + ".\nOn a real cluster disk bandwidth scales with executors; "
+            "here it is a\nfixed denominator bounding the commit phase's "
+            "N -> 4N efficiency.\n\nThis shared-host VM advertises 32 cores but delivers ~21\n"
             "effective cores at full load, so 8->32 is hardware-capped at ~0.64\n"
             "regardless of the job; the 4->16 pair stays in the machine's more\n"
             "linear region and measures the JOB (its ceiling still varies with\n"
