@@ -243,6 +243,20 @@ class CrawlRunner:
         self.t_metrics = self.catalog.table("metrics", METRICS_SCHEMA)
         self.t_chunks = self.catalog.table("chunks", CHUNKS_SCHEMA)
         self.t_lineage = self.catalog.table("lineage", LINEAGE_SCHEMA)
+        # Async chunk sink (vector upsert): the chunks table is a pure sink —
+        # nothing in the crawl loop reads it — so its upsert (the round's
+        # embedding UDF plus its biggest parquet write) runs on a dedicated
+        # one-thread pool and is joined at the NEXT round's commit phase.
+        # That overlaps the write with the next superstep's CPU-bound fold:
+        # on the single-disk sandbox the write phase has a measured ~0.25-0.33
+        # parallel-scaling ceiling (BENCH/BASELINE.md), and hiding it behind
+        # compute is the same async-sink-flush shape a cluster engine uses.
+        # run()/close() drain, so every external reader of t_chunks sees a
+        # complete table; SPARK_GRAFT_ASYNC_CHUNKS=0 restores the
+        # synchronous per-round commit.
+        self._sink_pool = None
+        self._pending_chunks = None
+        self._deferred_caches: list = []
         self.t_requests = self.catalog.table("requests", REQUESTS_SCHEMA)
         self.t_robots = self.catalog.table("robots", ROBOTS_SCHEMA)
         # per-attempt + per-hop politeness cost dim (S2/Q7), WRITTEN ONCE at
@@ -277,12 +291,36 @@ class CrawlRunner:
         self.budgets = self.budgets.cache()
         self.robots_dim = self.robots_dim.cache()
 
+    def _drain_chunks(self) -> None:
+        """Join the in-flight async chunk upsert (re-raising any failure)
+        and release the round caches it pinned."""
+        fut, self._pending_chunks = self._pending_chunks, None
+        if fut is not None:
+            fut.result()
+        for df in self._deferred_caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._deferred_caches.clear()
+
     def close(self) -> None:
         """Release the runner's pinned caches (the bucketed pages table).
 
         Long pytest sessions construct many runners against one shared JVM;
         without this the per-runner ``pages.cache()`` accumulates until the
         driver heap is exhausted (the round-1 resume-test flake)."""
+        try:
+            # belt-and-braces for abnormal exits; the normal path drains (and
+            # raises) in run(). Swallow here so a close() during exception
+            # unwind can't mask the original failure.
+            self._drain_chunks()
+        except Exception:
+            pass
+        if self._sink_pool is not None:
+            self._sink_pool.shutdown(wait=True)
+            self._sink_pool = None
+        self._flush_lineage()
         for df in (self.pages, self.budgets, self.robots_dim, self._requests_cache):
             try:
                 if df is not None:
@@ -899,6 +937,7 @@ class CrawlRunner:
                 return nfr
 
             overlap_frontier = os.environ.get("SPARK_GRAFT_OVERLAP_FRONTIER", "1") == "1"
+            async_chunks = os.environ.get("SPARK_GRAFT_ASYNC_CHUNKS", "1") == "1"
             with _fut.ThreadPoolExecutor(max_workers=6) as pool:
                 fut_frontier = pool.submit(job_frontier) if overlap_frontier else None
                 jobs = [
@@ -909,8 +948,24 @@ class CrawlRunner:
                     ),
                     pool.submit(self._commit, round_no, "visit_log", self.t_visits, visits),
                     pool.submit(self._commit, round_no, "metrics", self.t_metrics, metrics),
-                    pool.submit(job_chunks),
                 ]
+                if async_chunks:
+                    # join the PREVIOUS round's chunk write (it has been
+                    # overlapping this round's fold), hand its pinned caches
+                    # back, then launch this round's write to overlap the
+                    # NEXT round. The one-thread pool serializes upserts on
+                    # t_chunks.
+                    self._drain_chunks()
+                    for df in (extracted, fold_out):
+                        round_caches.remove(df)
+                        self._deferred_caches.append(df)
+                    if self._sink_pool is None:
+                        self._sink_pool = _fut.ThreadPoolExecutor(
+                            max_workers=1, thread_name_prefix="chunk-sink"
+                        )
+                    self._pending_chunks = self._sink_pool.submit(job_chunks)
+                else:
+                    jobs.append(pool.submit(job_chunks))
                 for j in jobs:
                     j.result()
                 new_frontier_rows = fut_frontier.result() if fut_frontier else None
@@ -951,10 +1006,17 @@ class CrawlRunner:
 
     def run(self, max_rounds: int = 1000) -> int:
         start = self.next_round()
-        for i in range(max_rounds):
-            if self.run_round(start + i) == 0:
-                return start + i
-        return start + max_rounds - 1
+        try:
+            for i in range(max_rounds):
+                if self.run_round(start + i) == 0:
+                    return start + i
+            return start + max_rounds - 1
+        finally:
+            # drain the async chunk sink: the last round's upsert (and its
+            # lineage row, which the in-round flush may have missed) must
+            # land before any caller reads t_chunks/lineage
+            self._drain_chunks()
+            self._flush_lineage()
 
     def next_round(self) -> int:
         m = self.t_metrics.read()
@@ -993,10 +1055,18 @@ class CrawlRunner:
             )
 
     def _flush_lineage(self):
-        buf = getattr(self, "_lineage_buf", [])
+        # the async chunk sink can append concurrently with a round's flush —
+        # snapshot-and-clear under the same lock _lineage uses, then commit
+        # outside it (a late row just rides the next flush)
+        import threading
+
+        if not hasattr(self, "_lineage_lock"):
+            self._lineage_lock = threading.Lock()
+        with self._lineage_lock:
+            buf = getattr(self, "_lineage_buf", [])
+            self._lineage_buf = []
         if buf:
             self.t_lineage.commit(self.spark.createDataFrame(buf, LINEAGE_SCHEMA))
-            self._lineage_buf = []
 
 
 def _host_of(url: str) -> str:
