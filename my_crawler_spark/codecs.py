@@ -5,13 +5,16 @@ The container has no PIL/libjpeg/libwebp, so:
 - ``png``  : a real, spec-conformant PNG encoder/decoder in pure
   numpy+zlib (8-bit RGB, filters 0-4 on decode, filter 0 on encode).
   Lossless — decode(encode(x)) == x exactly.
-- ``jpeg`` / ``webp`` : a clearly-marked DETERMINISTIC FAKE lossy codec
-  (uniform quantization + zlib) standing in for the real codecs. The
-  Spark-side plumbing (binary column, Arrow batch shape, phash verify,
-  PSNR invariant) is real and tested; only the bitstream is fake. With
-  the default step=4 quantizer, PSNR(decoded, original) ~= 46 dB, which
-  satisfies the >=40 dB lossy invariant (BASELINE.json input_hint).
-  If PIL is importable, real codecs are used instead (gated import).
+- ``jpeg`` : a real, spec-conformant baseline JFIF codec in pure numpy
+  (``jpeg.py``) — the decoder reads any baseline bitstream (4:2:0 etc.,
+  restart markers); conformance-oracled against Java's javax.imageio in
+  tests/test_jpeg.py. Default quality 98 keeps the >=40 dB lossy
+  invariant (BASELINE.json input_hint) on the noisiest fixture images.
+- ``webp`` : a clearly-marked DETERMINISTIC FAKE lossy codec (uniform
+  quantization + zlib) standing in for VP8. The Spark-side plumbing
+  (binary column, Arrow batch shape, phash verify, PSNR invariant) is
+  real and tested; only the bitstream is fake (step=4 -> PSNR ~46 dB).
+  If PIL is importable, the real codec is used instead (gated import).
 
 Also: ``phash64`` — the canonical 32x32-DCT / 8x8-lowfreq / median
 perceptual hash used as the per-row ground truth (graft analogue of the
@@ -145,7 +148,11 @@ def decode_fake_lossy(data: bytes) -> np.ndarray:
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
-    if fmt in ("jpeg", "webp"):
+    if fmt == "jpeg":
+        from . import jpeg
+
+        return jpeg.encode_jpeg(pixels, quality=98)
+    if fmt == "webp":
         return encode_fake_lossy(pixels, fmt)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
@@ -154,11 +161,15 @@ def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode. This is the function the E10 Arrow UDF batches over."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from . import jpeg
+
+        return jpeg.decode_jpeg(data)
     if data[:10] == _FAKE_MAGIC:
         return decode_fake_lossy(data)
     raise NotImplementedError(
-        "real jpeg/webp bitstreams need PIL (not in this container); "
-        "fixtures use the deterministic fake codec"
+        "real webp bitstreams need PIL (not in this container); "
+        "fixtures use the deterministic fake codec for webp"
     )
 
 

@@ -12,11 +12,14 @@ def test_png_roundtrip_exact():
     assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
 
 
-def test_fake_lossy_psnr_over_40db():
-    for i in range(5):
-        px = make_pixels(42, i, 24, 24)
-        dec = codecs.decode_image(codecs.encode_image(px, "jpeg"))
-        assert codecs.psnr(px, dec) >= 40.0
+def test_lossy_psnr_over_40db():
+    # jpeg is the real baseline codec (q98); webp is the fake stand-in —
+    # both must hold the input_hint's >=40 dB lossy invariant
+    for fmt in ("jpeg", "webp"):
+        for i in range(5):
+            px = make_pixels(42, i, 24, 24)
+            dec = codecs.decode_image(codecs.encode_image(px, fmt))
+            assert codecs.psnr(px, dec) >= 40.0, (fmt, i)
 
 
 def test_phash_stable_and_robust():
@@ -32,5 +35,9 @@ def test_phash_stable_and_robust():
 
 
 def test_decode_unknown_raises():
+    # unknown magic (real webp RIFF container) -> env-gated NotImplemented
     with pytest.raises(NotImplementedError):
-        codecs.decode_image(b"\xff\xd8\xff real jpeg would go here")
+        codecs.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # truncated jpeg -> structural decode error, not the env gate
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")
