@@ -840,7 +840,14 @@ def q_image_decode_phash(spark, sf_dir) -> DataFrame:
     from .fixtures import make_pixels
     from .operators.multimodal import decode_stats
 
-    part = _t(spark, sf_dir, "part").select("p_partkey").limit(2000)
+    # limit() collapses to one partition — spread the codec work back out
+    # (the real JPEG encode/decode per row single-tasked 2000 rows otherwise)
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .limit(2000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         for pdf in batches:

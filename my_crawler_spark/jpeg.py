@@ -141,12 +141,26 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol lookup for the bit-serial decoder."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _huff_codes(bits, vals).items()
-    }
+_LUT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Fast peek-16 lookup: arrays (length, symbol) indexed by the next 16
+    bits of the stream. One table index replaces the bit-serial walk — the
+    decoder is on the crawl's per-fetched-url extract path, so per-symbol
+    cost matters. Cached by table content (the Annex K tables recur)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    packed = np.zeros(1 << 16, dtype=np.int32)  # (length << 8) | symbol
+    for sym, (code, length) in _huff_codes(bits, vals).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        packed[lo:hi] = (length << 8) | sym
+    lut = packed.tolist()  # Python-list indexing beats numpy scalar reads
+    _LUT_CACHE[key] = lut
+    return lut
 
 
 def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
@@ -322,42 +336,6 @@ def encode_jpeg(
 # ------------------------------------------------------------------ decoder
 
 
-class _BitReader:
-    """MSB-first reader over an unstuffed entropy segment."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def read_bit(self) -> int:
-        return self.read(1)
-
-
-def _decode_huff(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | rd.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
-
-
 def _extend(v: int, s: int) -> int:
     # T.81 F.2.2.1 EXTEND: map s low bits to signed value
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -489,35 +467,84 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ]
     counters = [0] * len(comps)
     preds = [0] * len(comps)
-    seg_iter = iter(segments)
-    rd = _BitReader(next(seg_iter))
+    ncomp = len(comps)
+    comp_tabs = [
+        (
+            huff[(0, scan_info[c["id"]] >> 4)],
+            huff[(1, scan_info[c["id"]] & 0x0F)],
+            c["h"] * c["v"],
+        )
+        for c in comps
+    ]
+    # hot loop: bit reader inlined on local ints (this runs once per fetched
+    # url on the crawl extract path — method calls per symbol are too slow)
+    seg_idx = 0
+    sdata = segments[0]
+    slen = len(sdata)
+    acc = nbits = spos = 0
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
-            rd = _BitReader(next(seg_iter))
-            preds = [0] * len(comps)
-        for ci, c in enumerate(comps):
-            dc_tab = huff[(0, scan_info[c["id"]] >> 4)]
-            ac_tab = huff[(1, scan_info[c["id"]] & 0x0F)]
-            for _ in range(c["h"] * c["v"]):
-                blk = coef[ci][counters[ci]]
+            seg_idx += 1
+            sdata = segments[seg_idx]
+            slen = len(sdata)
+            acc = nbits = spos = 0
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            dc_lut, ac_lut, nblk = comp_tabs[ci]
+            arr = coef[ci]
+            for _ in range(nblk):
+                blk = arr[counters[ci]]
                 counters[ci] += 1
-                s = _decode_huff(rd, dc_tab)
-                diff = _extend(rd.read(s), s) if s else 0
-                preds[ci] += diff
+                # --- DC: peek 16, one LUT hit
+                while nbits < 16:
+                    acc = (acc << 8) | (sdata[spos] if spos < slen else 0)
+                    spos += 1
+                    nbits += 8
+                p = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if p == 0:
+                    raise ValueError("invalid Huffman code")
+                nbits -= p >> 8
+                acc &= (1 << nbits) - 1
+                s = p & 0xFF
+                if s:
+                    while nbits < s:
+                        acc = (acc << 8) | (sdata[spos] if spos < slen else 0)
+                        spos += 1
+                        nbits += 8
+                    nbits -= s
+                    v = acc >> nbits
+                    acc &= (1 << nbits) - 1
+                    preds[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 blk[0] = preds[ci]
+                # --- AC
                 k = 1
                 while k < 64:
-                    rs = _decode_huff(rd, ac_tab)
-                    r, s = rs >> 4, rs & 0x0F
+                    while nbits < 16:
+                        acc = (acc << 8) | (sdata[spos] if spos < slen else 0)
+                        spos += 1
+                        nbits += 8
+                    p = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if p == 0:
+                        raise ValueError("invalid Huffman code")
+                    nbits -= p >> 8
+                    acc &= (1 << nbits) - 1
+                    s = p & 0x0F
                     if s == 0:
-                        if r == 15:  # ZRL
+                        if (p >> 4) & 0x0F == 15:  # ZRL
                             k += 16
                             continue
                         break  # EOB
-                    k += r
+                    k += (p >> 4) & 0x0F
                     if k > 63:
                         raise ValueError("AC index overflow")
-                    blk[k] = _extend(rd.read(s), s)
+                    while nbits < s:
+                        acc = (acc << 8) | (sdata[spos] if spos < slen else 0)
+                        spos += 1
+                        nbits += 8
+                    nbits -= s
+                    v = acc >> nbits
+                    acc &= (1 << nbits) - 1
+                    blk[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                     k += 1
 
     # dequantize + inverse zigzag + batched IDCT, then place blocks

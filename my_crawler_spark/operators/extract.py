@@ -67,28 +67,82 @@ def extract_schema(carry: StructType) -> StructType:
     )
 
 
-def extract_pages(
-    fetched: DataFrame, images: DataFrame, skew_salt: int | None = None
-) -> DataFrame:
-    """fetched(request_id, seq, final_url, image_id, ...) ⋈ images -> one row
-    per page with decode/phash verdicts and the packed chunks array.
+def image_decode_stats(images: DataFrame) -> DataFrame:
+    """Decode each DISTINCT image ONCE -> (image_id, caption, decode_ok,
+    phash_ok, phash_got).
 
-    Join note: images is the 100 TB table — the join key is its primary key
-    so this is a shuffle-hash join pruned to (bytes, caption, phash, fmt);
-    column pruning keeps the scan narrow (verified via .explain in tests).
+    The images table is keyed by image_id while fetches reference it
+    many-to-one (the same payload appears on many pages), so decoding on
+    the fetch side would repeat identical work fan-out times — with the
+    real JPEG codec that repetition dominated the crawl's extract phase.
+    Decoding the dim once and joining verdicts is the scale-correct shape
+    (at 100 TB this dim would be written once as a stats table, like the
+    robots dim). Column pruning keeps the scan at
+    (image_id, bytes, caption, phash) — verified in test_explain_plans.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, caps, oks, phoks, phgots = [], [], [], [], []
+            for rec in pdf.itertuples(index=False):
+                decode_ok, phash_ok, phash_got = False, False, None
+                data = rec.bytes
+                if data is not None:
+                    try:
+                        px = codecs.decode_image(bytes(data))
+                        phash_got = codecs.phash64(px)
+                        decode_ok = True
+                        phash_ok = (
+                            rec.phash is not None and int(rec.phash) == phash_got
+                        )
+                    except Exception:
+                        pass
+                ids.append(rec.image_id)
+                caps.append(rec.caption)
+                oks.append(decode_ok)
+                phoks.append(phash_ok)
+                phgots.append(phash_got)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "caption": caps,
+                    "decode_ok": oks,
+                    "phash_ok": phoks,
+                    "phash_got": pd.array(phgots, dtype="Int64"),
+                }
+            )
+
+    return images.select("image_id", "bytes", "caption", "phash").mapInPandas(
+        run,
+        "image_id string, caption string, decode_ok boolean, "
+        "phash_ok boolean, phash_got long",
+    )
+
+
+def extract_pages(
+    fetched: DataFrame,
+    images: DataFrame,
+    skew_salt: int | None = None,
+    image_stats: DataFrame | None = None,
+) -> DataFrame:
+    """fetched(request_id, seq, final_url, image_id, ...) ⋈ decoded-image
+    stats -> one row per page with decode/phash verdicts and the packed
+    chunks array.
+
+    The image decode runs ONCE per distinct image (``image_decode_stats``;
+    pass a cached ``image_stats`` to reuse it across rounds); only the
+    per-fetch caption/url page extract runs per row here.
 
     Skew (north_rule): a hot image_id (a page fetched by many frontier rows)
     skews the shuffle. ``skew_salt=S`` applies the explicit salted
-    replicate-join — the images side is replicated S-fold with a salt
+    replicate-join — the stats side is replicated S-fold with a salt
     column, the fetched side salts by ``xxhash64(seq) % S`` — spreading one
     hot key over S tasks. AQE's skew-join split (enabled in session.py) is
     the automatic backstop; the explicit form is for planned hot keys.
     Salting happens ONLY in this fan-out stage, never in token accounting
     (politeness counts stay per unsalted host).
     """
-    img = images.select(
-        "image_id", "bytes", "caption", "phash",
-    )
+    img = image_stats if image_stats is not None else image_decode_stats(images)
     if skew_salt and skew_salt > 1:
         img = img.withColumn(
             "__salt", F.explode(F.array(*[F.lit(i) for i in range(skew_salt)]))
@@ -99,8 +153,9 @@ def extract_pages(
         joined = fetched.join(img, ["image_id", "__salt"], "left").drop("__salt")
     else:
         joined = fetched.join(img, "image_id", "left")
+    stat_cols = ("caption", "decode_ok", "phash_ok", "phash_got")
     carry_cols = [
-        f.name for f in joined.schema.fields if f.name not in ("bytes", "caption", "phash")
+        f.name for f in joined.schema.fields if f.name not in stat_cols
     ]
     out_schema = extract_schema(joined.select(*carry_cols).schema)
 
@@ -110,24 +165,19 @@ def extract_pages(
             for rec in pdf.itertuples(index=False):
                 d = rec._asdict()
                 caption = d.pop("caption") or ""
-                data = d.pop("bytes")
-                want_phash = d.pop("phash")
-                decode_ok, phash_ok, phash_got = False, False, None
-                if data is not None:
-                    try:
-                        px = codecs.decode_image(bytes(data))
-                        phash_got = codecs.phash64(px)
-                        decode_ok = True
-                        phash_ok = want_phash is not None and int(want_phash) == phash_got
-                    except Exception:
-                        pass
+                if not isinstance(caption, str):  # left-join miss -> NaN
+                    caption = ""
+                phash_got = d.pop("phash_got")
+                dec_ok, ph_ok = d.pop("decode_ok"), d.pop("phash_ok")
                 page = extract_caption_page(d.get("final_url") or "", caption)
                 rows.append(
                     {
                         **{k: d.get(k) for k in carry_cols},
-                        "decode_ok": decode_ok,
-                        "phash_ok": phash_ok,
-                        "phash_got": phash_got,
+                        "decode_ok": bool(dec_ok) if pd.notna(dec_ok) else False,
+                        "phash_ok": bool(ph_ok) if pd.notna(ph_ok) else False,
+                        "phash_got": (
+                            int(phash_got) if pd.notna(phash_got) else None
+                        ),
                         "page_title": page["title"],
                         "description": page["description"],
                         "chunks": page["chunks"],

@@ -290,6 +290,13 @@ class CrawlRunner:
         # budgets / static robots are per-crawl constants: pin them too
         self.budgets = self.budgets.cache()
         self.robots_dim = self.robots_dim.cache()
+        # decoded-image stats dim: the per-image decode/phash verdicts are
+        # crawl-constant, so decode each distinct image ONCE and reuse the
+        # joined verdicts every round (decode-per-fetch repeated identical
+        # work fan-out times — ruinous with the real JPEG codec)
+        from ..operators.extract import image_decode_stats
+
+        self.image_stats = image_decode_stats(self.images).cache()
 
     def _drain_chunks(self) -> None:
         """Join the in-flight async chunk upsert (re-raising any failure)
@@ -321,7 +328,13 @@ class CrawlRunner:
             self._sink_pool.shutdown(wait=True)
             self._sink_pool = None
         self._flush_lineage()
-        for df in (self.pages, self.budgets, self.robots_dim, self._requests_cache):
+        for df in (
+            self.pages,
+            self.budgets,
+            self.robots_dim,
+            self.image_stats,
+            self._requests_cache,
+        ):
             try:
                 if df is not None:
                     df.unpersist()
@@ -779,6 +792,7 @@ class CrawlRunner:
                 ),
                 self.images,
                 skew_salt=self.skew_salt,
+                image_stats=self.image_stats,
             ).select("request_id", "seq", "chunks").cache()
             round_caches.append(extracted)
 
