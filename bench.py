@@ -325,6 +325,43 @@ def measure_disk_ceiling(levels: tuple[int, int], mb_per_proc: int = 256) -> dic
     return {"t_n": round(t_n, 2), "t_4n": round(t_n4, 2), "ceiling_eff": round(eff, 3)}
 
 
+def _scaling_levels() -> tuple[int, int]:
+    return tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
+    )
+
+
+def _scaling_sidecar() -> str:
+    # per-workload history: efficiency must compare identical inputs
+    return f"BENCH/scaling_raw_c{COPIES}.json"
+
+
+def _load_hist() -> dict:
+    try:
+        with open(_scaling_sidecar()) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"samples": {}, "ceilings": []}
+
+
+def _sample_level(hist: dict, cpus: int, runs: int) -> None:
+    """Run the crawl bench `runs` times at local[cpus]; append every sample."""
+    raw = []
+    for _ in range(runs):
+        # one crawl per invocation here; `runs` invocations give the
+        # per-level samples without doubling the wall clock
+        env = dict(
+            os.environ, SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_BENCH_CRAWL_RUNS="1",
+        )
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        raw.append(json.loads(line))
+    hist["samples"].setdefault(str(cpus), []).extend(raw)
+
+
 def run_scaling(runs_per_level: int = 2):
     """Two-parallelism evidence (BASELINE.json: N vs 4N executors).
 
@@ -334,9 +371,7 @@ def run_scaling(runs_per_level: int = 2):
     can hit 0.8 there. 4->16 stays inside the machine's linear region
     (ceiling ~0.92) and isolates the job's own scaling. Best-of per level
     with every raw sample recorded (shared-host VM noise)."""
-    levels = tuple(
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
-    )
+    levels = _scaling_levels()
     ceiling = measure_cpu_ceiling(levels)
     disk_ceiling = measure_disk_ceiling(levels)
     # samples accumulate across invocations (BENCH/scaling_raw.json): on a
@@ -344,35 +379,26 @@ def run_scaling(runs_per_level: int = 2):
     # 30% swings at fixed code+config), so the protocol is best-of-ALL
     # recorded samples, every sample listed.
     os.makedirs("BENCH", exist_ok=True)
-    # per-workload history: efficiency must compare identical inputs
-    sidecar = f"BENCH/scaling_raw_c{COPIES}.json"
-    try:
-        with open(sidecar) as f:
-            hist = json.load(f)
-    except FileNotFoundError:
-        hist = {"samples": {}, "ceilings": []}
+    hist = _load_hist()
     hist["ceilings"].append(ceiling)
     hist.setdefault("disk_ceilings", []).append(disk_ceiling)
-    raw: dict[int, list] = {c: [] for c in levels}
     for cpus in levels:
-        for _ in range(runs_per_level):
-            # one crawl per invocation here; runs_per_level invocations give
-            # the per-level samples without doubling the wall clock
-            env = dict(
-                os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                SPARK_GRAFT_BENCH_CRAWL_RUNS="1",
-            )
-            out = subprocess.run(
-                [sys.executable, __file__], env=env, capture_output=True, text=True
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            raw[cpus].append(json.loads(line))
-        hist["samples"].setdefault(str(cpus), []).extend(raw[cpus])
-    with open(sidecar, "w") as f:
+        _sample_level(hist, cpus, runs_per_level)
+    _render_scaling_report(hist, levels)
+
+
+def run_scaling_sample(cpus: int, runs: int = 1):
+    """Append `runs` crawl samples at ONE level to the history, re-render."""
+    os.makedirs("BENCH", exist_ok=True)
+    hist = _load_hist()
+    _sample_level(hist, cpus, runs)
+    _render_scaling_report(hist, _scaling_levels())
+
+
+def _render_scaling_report(hist: dict, levels: tuple[int, int]):
+    with open(_scaling_sidecar(), "w") as f:
         json.dump(hist, f)
-    all_samples = {
-        c: hist["samples"].get(str(c), []) or raw[c] for c in levels
-    }
+    all_samples = {c: hist["samples"].get(str(c), []) for c in levels}
     results = {c: max(rs, key=lambda r: r["value"]) for c, rs in all_samples.items()}
     ceiling = max(hist["ceilings"], key=lambda c: c["ceiling_eff"])
     lo, hi = levels
@@ -435,7 +461,14 @@ def run_scaling(runs_per_level: int = 2):
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-sample" in sys.argv:
+        i = sys.argv.index("--scaling-sample")
+        cpus = int(sys.argv[i + 1])
+        runs = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 1
+        run_scaling_sample(cpus, runs)
+    elif "--scaling-report" in sys.argv:
+        _render_scaling_report(_load_hist(), _scaling_levels())
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         print(json.dumps(run_bench()))

@@ -167,6 +167,7 @@ class CrawlRunner:
         robots_source_fn=None,
         round_duration_secs: int = 16,
         robots_broadcast_threshold: int = 1_000_000,
+        round_ctl_broadcast_rows: int = 1_000_000,
     ):
         # broadcast_round_ctl: the per-round crawled-row id set
         # (request_id, seq) is politeness-bounded (tokens_per_round x active
@@ -176,6 +177,7 @@ class CrawlRunner:
         # (~2 GB broadcast); set False beyond that to fall back to shuffle
         # joins on (request_id, seq).
         self.broadcast_round_ctl = broadcast_round_ctl
+        self.round_ctl_broadcast_rows = round_ctl_broadcast_rows
         self.bloom_min_rows = bloom_min_rows
         self.skew_salt = skew_salt
         self.spark = spark
@@ -820,7 +822,28 @@ class CrawlRunner:
             _mark("plan_assembled")
             fold_out = gate_fold(control.select(*FOLD_IN_COLS)).cache()
             round_caches.append(fold_out)
-            fold_out.count()
+            fold_rows = fold_out.count()
+            # Adaptive round-control strategy (AQE-style, but on the runner's
+            # own superstep boundary): broadcasting the fold-derived control
+            # relations (crawled ids, a(t), M(t)) keeps the heavy cached
+            # sides un-shuffled — a clear win on politeness-bounded rounds —
+            # but the broadcast BUILD is single-threaded driver work that
+            # does not shrink with executor count. On huge seed-frontier
+            # rounds (the BASELINE.json shape: one 10^10-url superstep) that
+            # serial fraction caps N->4N scaling, so past the threshold the
+            # links/chunks joins fall back to shuffle joins, which the
+            # canonicalize-barrier partitioning on (request_id, url) mostly
+            # co-locates anyway.
+            round_bctl = (
+                self.broadcast_round_ctl
+                and fold_rows <= self.round_ctl_broadcast_rows
+            )
+            if _profile:
+                print(
+                    f"[round {round_no}] fold_rows={fold_rows}"
+                    f" round_ctl_broadcast={round_bctl}",
+                    flush=True,
+                )
             for hc in hop_caches:  # fetched is materialized; free the hop caches
                 hc.unpersist()
             hop_caches.clear()
@@ -885,7 +908,7 @@ class CrawlRunner:
             )
             crawled_rows = fold_out.filter(F.col("outcome") == "crawled")
             crawled_ids = crawled_rows.select("request_id", "seq")
-            if self.broadcast_round_ctl:
+            if round_bctl:
                 crawled_ids = F.broadcast(crawled_ids)
 
             def job_chunks():
@@ -927,14 +950,14 @@ class CrawlRunner:
                 # broadcast the narrow crawled ids; the outlink arrays (the
                 # heavy side, from the fetched cache) stay un-shuffled
                 lp = crawled_rows.select("request_id", "seq", "depth")
-                if self.broadcast_round_ctl:
+                if round_bctl:
                     lp = F.broadcast(lp)
                 link_parents = fetch_ctl.select("request_id", "seq", "outlinks").join(
                     lp, ["request_id", "seq"]
                 )
                 new_links = admit_links(
                     link_parents, fold_out, deferred, seen, requests, spark, bloom,
-                    broadcast_ctl=self.broadcast_round_ctl,
+                    broadcast_ctl=round_bctl,
                 )
                 seq_base = state.select("request_id", "max_seq")
                 # cached: reused for the frontier write AND the max_seq update
