@@ -131,6 +131,58 @@ def politeness_token_stream(
     )
 
 
+def fetch_extract_stream(
+    admitted: DataFrame,
+    pages: DataFrame,
+    redirects: DataFrame,
+    images: DataFrame,
+    chunks_table,
+    rendered: DataFrame | None = None,
+    image_stats: DataFrame | None = None,
+    max_hops: int = 0,
+):
+    """Streamed S1+E1 vertical: micro-batches of admitted frontier rows
+    (request_id, seq, url, depth[, use_browser]) run the SAME fetch-as-join
+    + Arrow decode/phash/chunk operators as the batch BSP round, then
+    upsert chunks (S8+S9 semantics, qdrant.rs:130-139).
+
+    ``foreachBatch`` rather than stream-static joins: the pages dim join
+    alone would stream, but the bounded iterative redirect resolution and
+    the decode-once image-stats dim need a concrete batch per trigger.
+    Exactly-once effect on the sink: the upsert keys on (source_url,
+    page_version) and drops stale versions, so replaying a micro-batch
+    after a failure converges to the same table state (idempotent).
+
+    Returns a DataStreamWriter — caller picks trigger and checkpoint, e.g.
+    ``.trigger(availableNow=True).option("checkpointLocation", ...)``.
+    """
+    from ..operators.extract import explode_chunks, extract_pages
+    from ..operators.fetch import fetch_join
+    from ..plans.crawl_plan import CHUNKS_SCHEMA
+    from ..sources.lake import upsert_chunks_with_stale_delete
+
+    has_redirects = not redirects.isEmpty()
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        fetched = fetch_join(
+            batch_df, pages, redirects, has_redirects=has_redirects,
+            rendered=rendered, max_hops=max_hops,
+        )
+        extracted = extract_pages(
+            fetched.filter(F.col("fetch_kind") == "ok").select(
+                "request_id", "seq", "final_url", "image_id"
+            ),
+            images,
+            image_stats=image_stats,
+        ).select("request_id", "seq", "chunks")
+        chunks = explode_chunks(extracted).select(
+            *[f.name for f in CHUNKS_SCHEMA]
+        )
+        upsert_chunks_with_stale_delete(chunks_table, chunks)
+
+    return admitted.writeStream.foreachBatch(_process)
+
+
 def metrics_window_stream(
     visits: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -89,3 +89,73 @@ def test_metrics_window_stream(spark, tmp_path):
     got = {(str(r.window_start), r.outcome): r.n for r in spark.sql("SELECT * FROM live_metrics").collect()}
     assert got[("2026-01-01 00:00:00", "crawled")] == 2
     assert got[("2026-01-01 00:01:00", "failed")] == 1
+
+
+def test_fetch_extract_stream_matches_batch_and_is_idempotent(spark, fixtures, tmp_path):
+    """The streamed S1+E1 vertical must produce EXACTLY the chunks the batch
+    operators produce on the same admitted rows, and replaying the same
+    input through a fresh stream must leave the sink unchanged (the
+    (source_url, page_version)-keyed upsert is idempotent)."""
+    import json as _json
+
+    from my_crawler_spark.operators.extract import explode_chunks, extract_pages
+    from my_crawler_spark.operators.fetch import fetch_join, max_redirect_hops
+    from my_crawler_spark.plans.crawl_plan import CHUNKS_SCHEMA
+    from my_crawler_spark.sources.lake import Catalog
+    from my_crawler_spark.streaming.stream_crawl import fetch_extract_stream
+
+    pages = spark.createDataFrame(fixtures["pages"])
+    redirects = spark.createDataFrame(fixtures["redirects"])
+    images = spark.createDataFrame(fixtures["images"])
+    hops = max_redirect_hops(pages, redirects)
+
+    urls = fixtures["pages"]["url"].tolist()[:40]
+    rows = [
+        {"request_id": 1, "seq": i + 1, "url": u, "depth": 0, "use_browser": False}
+        for i, u in enumerate(urls)
+    ]
+    src = tmp_path / "admitted"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "request_id long, seq long, url string, depth int, use_browser boolean"
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    t_chunks = cat.table("chunks", CHUNKS_SCHEMA)
+    admitted = spark.readStream.schema(schema).json(str(src))
+    q = (
+        fetch_extract_stream(admitted, pages, redirects, images, t_chunks,
+                             max_hops=hops)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+    expected = explode_chunks(
+        extract_pages(
+            fetch_join(batch, pages, redirects, max_hops=hops)
+            .filter(F.col("fetch_kind") == "ok")
+            .select("request_id", "seq", "final_url", "image_id"),
+            images,
+        ).select("request_id", "seq", "chunks")
+    ).select(*[f.name for f in CHUNKS_SCHEMA])
+
+    key = ["point_id", "page_version", "chunk_index", "source_url"]
+    got = sorted(tuple(r) for r in t_chunks.read().select(*key).collect())
+    want = sorted(tuple(r) for r in expected.select(*key).collect())
+    assert len(want) > 0
+    assert got == want
+
+    # replay: same input, fresh stream + checkpoint -> sink unchanged
+    admitted2 = spark.readStream.schema(schema).json(str(src))
+    q2 = (
+        fetch_extract_stream(admitted2, pages, redirects, images, t_chunks,
+                             max_hops=hops)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = sorted(tuple(r) for r in t_chunks.read().select(*key).collect())
+    assert got2 == want
