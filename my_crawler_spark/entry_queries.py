@@ -902,6 +902,97 @@ def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     return sample_video_frames(media, target_fps=2.0)
 
 
+def _near_dup_images(spark, sf_dir, n_base: int = 300) -> DataFrame:
+    """Deterministic image table with planted perceptual twins: one base
+    image per part key; every 4th key also gets a noise-perturbed copy
+    (sigma=2 -> phash hamming 0-6 on this distribution; a few unrelated
+    sinusoid bases also land close — legitimate near-dups, reported
+    deterministically). Synthesized on executors via mapInPandas — no
+    driver materialization."""
+    import numpy as np
+    import pandas as pd
+
+    from . import codecs as C
+    from .fixtures import make_pixels
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .limit(n_base)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                px = make_pixels(11, k, 24, 24)
+                rows.append({"image_id": f"p-{k}", "bytes": C.encode_image(px, "png")})
+                if k % 4 == 0:
+                    rng = np.random.default_rng(k)
+                    twin = np.clip(
+                        px.astype(np.float64) + rng.normal(0, 2, px.shape), 0, 255
+                    ).astype(np.uint8)
+                    rows.append(
+                        {"image_id": f"p-{k}-t", "bytes": C.encode_image(twin, "png")}
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return part.mapInPandas(gen, "image_id string, bytes binary")
+
+
+def q_image_near_dup(spark, sf_dir) -> DataFrame:
+    """Perceptual near-duplicate image detection (the image-axis analogue
+    of simhash_pairs): decode -> phash -> pigeonhole-blocked Hamming join.
+    Rows-only (binary payloads are not SQL-expressible); exactness of the
+    blocking is pinned by the image_phash_sound oracle below, and planted-
+    twin recall by tests/test_multimodal.py."""
+    from .operators.multimodal import image_near_duplicates
+
+    return image_near_duplicates(_near_dup_images(spark, sf_dir), max_hamming=6, blocks=8)
+
+
+def q_image_phash_sound(spark, sf_dir) -> DataFrame:
+    """The pigeonhole-blocked image-phash join must EQUAL brute-force
+    all-pairs Hamming <= 6 over the same fingerprints (8 blocks, <= 6
+    flips: any near-pair shares a chunk, so blocking loses nothing and
+    adds nothing). Violations = symmetric difference; must be empty."""
+    from .operators.dedup import hamming_near_pairs
+    from .operators.multimodal import decode_stats
+
+    ph = (
+        decode_stats(_near_dup_images(spark, sf_dir))
+        .filter(F.col("decode_ok"))
+        .select("image_id", "phash")
+    )
+    blocked = hamming_near_pairs(ph, "image_id", "phash", max_hamming=6, blocks=8)
+    a = ph.select(F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"))
+    b = ph.select(F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", F.col("hamming").alias("h_brute"))
+    )
+    diff = blocked.join(brute, ["id_a", "id_b"], "full").filter(
+        F.col("hamming").isNull()
+        | F.col("h_brute").isNull()
+        | (F.col("hamming") != F.col("h_brute"))
+    )
+    return diff.select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+
+
+SQL_IMAGE_PHASH_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
+    WHERE 1 = 0
+"""
+
+
 def q_crawl_bsp(spark, sf_dir) -> DataFrame:
     """The real BSP crawl runner over the deterministic fixture web —
     rows-only here; exact equivalence vs the sequential reference simulator
@@ -1443,7 +1534,9 @@ QUERIES = {
     "lsh_ann_sound": q_lsh_ann_sound,
     "ivf_sound": q_ivf_sound,
     "embedding_sound": q_embedding_sound,
+    "image_phash_sound": q_image_phash_sound,
     # rows-only (no SQL-expressible oracle)
+    "image_near_dup": q_image_near_dup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1482,6 +1575,7 @@ ORACLES = {
     "lsh_ann_sound": SQL_LSH_ANN_SOUND,
     "ivf_sound": SQL_IVF_SOUND,
     "embedding_sound": SQL_EMBEDDING_SOUND,
+    "image_phash_sound": SQL_IMAGE_PHASH_SOUND,
 }
 
 

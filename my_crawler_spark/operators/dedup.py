@@ -15,6 +15,9 @@ the only Python is hashing inside whole-stage-codegen-friendly exprs
                           the classic MinHash-LSH candidate generation
 - simhash64             : 64-bit SimHash from token hashes via bit-counting
                           in SQL (explode + per-bit majority)
+- hamming_near_pairs    : generic pigeonhole-blocked Hamming-ball join over
+                          ANY 64-bit fingerprint column (SimHash, image
+                          phash, ...) — exact while blocks > max_hamming
 - near_duplicates_minhash: end-to-end LSH + exact-Jaccard verification
 
 Scale notes: every operator is a constant number of shuffles independent
@@ -221,6 +224,54 @@ def simhash64(
     return per_bit.select(F.col("id").alias(id_col), acc.alias("simhash"))
 
 
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    blocks: int,
+) -> DataFrame:
+    """Hamming-ball near-pairs over any 64-bit fingerprint column via the
+    pigeonhole trick: split the hash into `blocks` chunks; any pair within
+    `max_hamming < blocks` differing bits must agree on >= one chunk ->
+    join per chunk, verify with bit_count(xor). Exact (no recall loss) as
+    long as blocks > max_hamming. Chunk width trades selectivity against
+    guarantee: more blocks tolerate more flips but bucket coarser, so at
+    larger corpora prefer the widest chunks the hamming budget allows.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if blocks <= max_hamming:
+        raise ValueError("pigeonhole guarantee needs blocks > max_hamming")
+    width = 64 // blocks
+    # posexplode the chunk array -> ONE self-join on (chunk_idx, chunk_val)
+    # instead of `blocks` unioned joins: the upstream (possibly expensive,
+    # e.g. an Arrow decode stage) plan runs once per side, the shuffle count
+    # is constant, and plan size is O(1) in `blocks`.
+    chunked = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("ci", "ck"),
+    )
+    a = chunked.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "ci", "ck")
+    b = chunked.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "ci", "ck")
+    return (
+        a.join(b, ["ci", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -228,33 +279,9 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     blocks: int = 4,
 ) -> DataFrame:
-    """Hamming-ball near-dups via the pigeonhole trick: split the 64-bit
-    hash into `blocks` chunks; any pair within `max_hamming < blocks` must
-    agree on >= one chunk -> join per chunk, verify with bit_count(xor)."""
+    """Hamming-ball near-dups over SimHash fingerprints (pigeonhole join)."""
     sh = simhash64(docs, id_col, text_col)
-    width = 64 // blocks
-    chunked = sh.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        *[
-            F.shiftright(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias(f"c{i}")
-            for i in range(blocks)
-        ],
-    )
-    pairs = None
-    for i in range(blocks):
-        a = chunked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{i}").alias("ck"))
-        b = chunked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{i}").alias("ck"))
-        p = a.join(b, "ck").filter(F.col("id_a") < F.col("id_b")).drop("ck")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return (
-        pairs.distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_near_pairs(sh, id_col, "simhash", max_hamming, blocks)
 
 
 def embedding_near_duplicates(

@@ -65,7 +65,7 @@ def test_minhash_lsh_recall(spark, docs):
 
 def test_simhash_near_duplicates(spark, docs):
     got = {(r.id_a, r.id_b) for r in
-           D.simhash_near_duplicates(docs, max_hamming=10, blocks=4).collect()}
+           D.simhash_near_duplicates(docs, max_hamming=3, blocks=4).collect()}
     assert (1, 2) in got  # identical docs: hamming 0
     sh = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
     assert sh[1] == sh[2]

@@ -56,3 +56,66 @@ def test_video_frame_sampling(spark):
 def test_real_codec_stub_raises():
     with pytest.raises(NotImplementedError):
         MM._parse_fake_media(b"\x00\x00\x01\xba real mpeg would go here")
+
+
+@pytest.fixture(scope="module")
+def twin_images(spark):
+    """Base images + noise-perturbed twins for every 3rd base (planted
+    near-dups) — twins measure hamming 0-4 on this distribution,
+    unrelated images 26-34."""
+    import numpy as np
+
+    rows = []
+    for i in range(30):
+        px = make_pixels(5, i, 24, 24)
+        rows.append((f"b{i}", codecs.encode_image(px, "png")))
+        if i % 3 == 0:
+            rng = np.random.default_rng(i)
+            twin = np.clip(
+                px.astype(np.float64) + rng.normal(0, 2, px.shape), 0, 255
+            ).astype(np.uint8)
+            rows.append((f"b{i}-t", codecs.encode_image(twin, "png")))
+    rows.append(("bad", b"garbage-not-an-image"))
+    return spark.createDataFrame(rows, "image_id string, bytes binary")
+
+
+def test_image_near_duplicates_finds_planted_twins(spark, twin_images):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in MM.image_near_duplicates(twin_images, max_hamming=6, blocks=8).collect()}
+    for i in range(0, 30, 3):
+        key = (f"b{i}", f"b{i}-t")
+        assert key in pairs, f"planted twin {key} not reported"
+        assert pairs[key] <= 6
+    # no cross-base pairs (unrelated images are 26-34 bits apart)
+    for (a, b) in pairs:
+        assert a.split("-")[0] == b.split("-")[0]
+
+
+def test_image_near_duplicates_blocked_equals_brute(spark, twin_images):
+    ph = (
+        MM.decode_stats(twin_images)
+        .filter(F.col("decode_ok"))
+        .select("image_id", "phash")
+    )
+    from my_crawler_spark.operators.dedup import hamming_near_pairs
+
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(ph, "image_id", "phash", 6, 8).collect()
+    }
+    rows = ph.collect()
+    brute = {
+        (a.image_id, b.image_id, codecs.hamming64(a.phash, b.phash))
+        for a in rows
+        for b in rows
+        if a.image_id < b.image_id
+        and codecs.hamming64(a.phash, b.phash) <= 6
+    }
+    assert blocked == brute
+
+
+def test_hamming_near_pairs_rejects_unsound_params():
+    with pytest.raises(ValueError):
+        from my_crawler_spark.operators.dedup import hamming_near_pairs
+
+        hamming_near_pairs(None, "id", "h", max_hamming=4, blocks=4)
