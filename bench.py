@@ -358,7 +358,9 @@ def _sample_level(hist: dict, cpus: int, runs: int) -> None:
             [sys.executable, __file__], env=env, capture_output=True, text=True
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        raw.append(json.loads(line))
+        rec = json.loads(line)
+        rec["ts"] = round(time.time(), 1)  # same-day pair evidence
+        raw.append(rec)
     hist["samples"].setdefault(str(cpus), []).extend(raw)
 
 
@@ -393,6 +395,42 @@ def run_scaling_sample(cpus: int, runs: int = 1):
     hist = _load_hist()
     _sample_level(hist, cpus, runs)
     _render_scaling_report(hist, _scaling_levels())
+
+
+def _all_pairs_view(hist: dict) -> str:
+    """Best-of-per-level table over EVERY level in the history, per-core
+    efficiency vs the lowest level — regenerated on every render so hand
+    edits can't be lost."""
+    levels = sorted(int(c) for c in hist["samples"] if hist["samples"][c])
+    if len(levels) < 2:
+        return ""
+    best = {c: max(r["value"] for r in hist["samples"][str(c)]) for c in levels}
+    lo = levels[0]
+    rows = "\n".join(
+        f"| local[{c}] | {best[c]:.2f} | "
+        f"{max(r['urls_processed'] for r in hist['samples'][str(c)]) / best[c]:.1f} | "
+        f"{(best[c] / best[lo]) / (c / lo):.3f} |"
+        for c in levels
+    )
+    return (
+        f"\n## All-pairs view (same history, best-of per level, COPIES={COPIES})\n\n"
+        f"| level | best urls/s | seconds | eff vs local[{lo}] (per-core) |\n"
+        "| --- | --- | --- | --- |\n" + rows + "\n\n"
+        "Per-level bests land in different host-quiet windows on this\n"
+        "shared VM, so RATIOS between levels carry that noise (best-of\n"
+        "windows can read superlinear). The headline pair above is the\n"
+        "authoritative same-protocol N -> 4N evidence.\n"
+    )
+
+
+def _appendix() -> str:
+    """Durable hand-written analysis (BENCH/BASELINE_APPENDIX.md) survives
+    re-renders by being appended verbatim."""
+    try:
+        with open("BENCH/BASELINE_APPENDIX.md") as f:
+            return "\n" + f.read()
+    except FileNotFoundError:
+        return ""
 
 
 def _render_scaling_report(hist: dict, levels: tuple[int, int]):
@@ -453,6 +491,8 @@ def _render_scaling_report(hist: dict, levels: tuple[int, int]):
                 f"- {k}: {v} s" for k, v in sorted(results[hi]["queries"].items())
             )
             + "\n"
+            + _all_pairs_view(hist)
+            + _appendix()
         )
     print(json.dumps({
         f"local{lo}": t_lo, f"local{hi}": t_hi, "efficiency": round(eff, 3),
