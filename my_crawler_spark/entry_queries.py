@@ -499,11 +499,15 @@ def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
     """Rolling-hash fingerprint, md5 variant (oracle-checkable; the xxhash64
     production variant is pytest-tested in tests/test_dedup.py)."""
     d = _t(spark, sf_dir, "documents")
-    grams = D.word_ngrams(F.col("text"), 8)
+    toked = d.select("doc_id", "text", D.tokens(F.col("text")).alias("_toks"))
+    grammed = toked.select(
+        "doc_id", "text", D.ngrams_from_tokens(F.col("_toks"), 8).alias("_grams")
+    )
     fp = F.when(
-        F.size(grams) > 0, F.array_min(F.transform(grams, lambda g: F.md5(g)))
+        F.size("_grams") > 0,
+        F.array_min(F.transform(F.col("_grams"), lambda g: F.md5(g))),
     ).otherwise(F.md5(F.lower(F.col("text"))))
-    return d.select("doc_id", fp.alias("fingerprint"))
+    return grammed.select("doc_id", fp.alias("fingerprint"))
 
 
 SQL_DOC_FINGERPRINT = """

@@ -50,21 +50,37 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def word_ngrams(col, n: int) -> F.Column:
-    """Array of word n-grams (space-joined) from a text column."""
-    toks = F.filter(F.split(F.lower(col), r"[^a-z0-9\p{L}]+"), lambda t: t != "")
+def tokens(col) -> F.Column:
+    """Lowercased word-token array from a text column."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9\p{L}]+"), lambda t: t != "")
+
+
+def ngrams_from_tokens(toks, n: int) -> F.Column:
+    """Array of word n-grams (space-joined) from a MATERIALIZED token-array
+    column. Pass a real column (two-step select), not the `tokens(...)`
+    expression inline: higher-order-function lambdas re-evaluate their
+    argument subtree per element, so an inline split re-tokenizes the text
+    once per n-gram (measured 8x slower on the documents table)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) < n, F.array()).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
 
 
+def word_ngrams(col, n: int) -> F.Column:
+    """Array of word n-grams from a raw text column — convenience form;
+    see ngrams_from_tokens for the fast two-step pattern on hot paths."""
+    return ngrams_from_tokens(tokens(col), n)
+
+
 def ngram_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded, distinct per doc."""
+    """(id, shingle) exploded, distinct per doc. Tokenizes in its own
+    projection so the n-gram lambda slices a materialized array."""
+    toked = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        toked.select("id", F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("shingle"))
         .distinct()
     )
 

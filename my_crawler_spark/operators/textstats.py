@@ -90,11 +90,18 @@ def doc_fingerprint(
 ) -> DataFrame:
     """(id, fingerprint) — min xxhash64 over word 8-grams; empty/short docs
     fingerprint the whole normalized text."""
-    from .dedup import word_ngrams
+    from .dedup import ngrams_from_tokens, tokens
 
-    grams = word_ngrams(F.col(text_col), n)
+    toked = docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    grammed = toked.select(
+        F.col(id_col),
+        F.col(text_col),
+        ngrams_from_tokens(F.col("_toks"), n).alias("_grams"),
+    )
     fp = F.when(
-        F.size(grams) > 0,
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))),
+        F.size("_grams") > 0,
+        F.array_min(F.transform(F.col("_grams"), lambda g: F.xxhash64(g))),
     ).otherwise(F.xxhash64(F.lower(F.col(text_col))))
-    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+    return grammed.select(F.col(id_col), fp.alias("fingerprint"))

@@ -179,3 +179,22 @@ def test_admit_links_broadcasts_round_control(spark):
     plan = explain_str(out)
     # requests dim + a(t) + M(t) probes — at least three broadcast joins
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_hamming_near_pairs_single_upstream_pass(spark):
+    """The pigeonhole Hamming join must run its (possibly expensive)
+    upstream plan once per join side — posexplode + ONE self-join, not a
+    union of per-block joins. Regression: the union shape re-ran the
+    Arrow image-decode stage `blocks` times (228-node plan -> 46)."""
+    from my_crawler_spark.operators.dedup import hamming_near_pairs
+
+    hashes = spark.range(100).select(
+        F.col("id"), F.xxhash64(F.col("id").cast("string")).alias("fp")
+    )
+    plan = explain_str(hamming_near_pairs(hashes, "id", "fp", 6, 8))
+    final = plan.split("== Initial Plan ==")[0]
+    # one Generate (posexplode) per join side — each node is mentioned
+    # twice in formatted explain (tree + details) -> <= 4 mentions;
+    # and no 8-way union of per-block joins
+    assert final.count("Generate") <= 4, final
+    assert "Union" not in final, final
