@@ -916,9 +916,11 @@ class CrawlRunner:
 
                 t0 = _t.time()
                 # broadcast id-join: the heavy extracted rows (chunk text)
-                # never shuffle. No persist: the upsert's versions branch
-                # prunes down to (source_url, page_version), so recomputing
-                # it skips the embedding UDF entirely.
+                # never shuffle. No persist: the merge's matched-keys branch
+                # prunes down to source_url, so recomputing it skips the
+                # embedding UDF entirely. The upsert itself is merge-on-read
+                # (append + equality delete): O(round) disk, never a rewrite
+                # of the whole chunks table.
                 chunks = explode_chunks(
                     extracted.join(crawled_ids, ["request_id", "seq"])
                 ).select(*[f.name for f in CHUNKS_SCHEMA])
