@@ -40,7 +40,7 @@ def retry_token_cost(flaky_col: F.Column, retry_after_col: F.Column) -> F.Column
     (web_visitor.rs:193) and sleeps ``Retry-After`` when the header is
     present, else the backoff ``1s * 2^attempt``, between attempts
     (web_visitor.rs:161 ``retry_after(...).unwrap_or_else(|| backoff)``,
-    :255-271). The fixture encodes "header absent" as retry_after_s = 0.
+    :255-271). The fixture encodes "header absent" as retry_after_s = NULL.
     With one token ~= one 2-second origin slot (web_visitor.rs:29-62), a
     row's cost is
 
