@@ -248,10 +248,19 @@ class SnapshotTable:
         else:
             out = self._publish(prev_data + [[data_dir, snap]], deletes, parent)
         if len(deletes) >= MOR_COMPACT_DELETES:
-            # amortized rewrite: fold deletes back into a flat table
-            # (Iceberg's rewrite_data_files maintenance action)
-            out = self.commit(self.read(), mode="overwrite")
+            # amortized: fold deletes back into a flat table
+            out = self.compact()
         return out
+
+    def compact(self) -> int:
+        """Maintenance rewrite (Iceberg ``rewrite_data_files``): publish one
+        flat data dir with all outstanding equality deletes applied —
+        bin-packs the per-round append dirs and zeroes the read-side
+        anti-joins. ``merge_upsert`` calls this automatically past
+        MOR_COMPACT_DELETES; call it explicitly between crawl runs to keep
+        file counts bounded on long-lived tables. Old snapshots keep their
+        dirs, so time travel across the compaction still works."""
+        return self.commit(self.read(), mode="overwrite")
 
     def delete_where(self, condition) -> int:
         cur = self.read()

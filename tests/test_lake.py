@@ -182,3 +182,20 @@ def test_chunks_mor_equals_rewrite_semantics(spark, tmp_path):
     dedup = keep.join(new_df.select("point_id").distinct(), ["point_id"], "left_anti")
     want = {tuple(r) for r in dedup.unionByName(new_df).collect()}
     assert got == want
+
+
+def test_explicit_compact_binpacks_and_keeps_time_travel(spark, tmp_path):
+    """compact() folds N append dirs + deletes into ONE flat dir with the
+    same rows; pre-compaction snapshots still time-travel."""
+    t = SnapshotTable(spark, str(tmp_path), "t9", SCHEMA)
+    t.commit(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.commit(spark.createDataFrame([(2, "b")], SCHEMA))
+    s3 = t.merge_upsert(spark.createDataFrame([(1, "A"), (3, "c")], SCHEMA), ["k"])
+    t.compact()
+    data, deletes = t._entries(_manifest(t))
+    assert len(data) == 1 and deletes == []
+    assert {r.k: r.v for r in t.read().collect()} == {1: "A", 2: "b", 3: "c"}
+    # pre-compaction snapshot unchanged
+    assert {r.k: r.v for r in t.read(snapshot_id=s3).collect()} == {1: "A", 2: "b", 3: "c"}
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Anti" not in plan and "Union" not in plan
