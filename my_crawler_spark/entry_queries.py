@@ -906,6 +906,43 @@ def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     return sample_video_frames(media, target_fps=2.0)
 
 
+def q_frames_sound(spark, sf_dir) -> DataFrame:
+    """Soundness oracle for the frame-sampling plumbing: every frame the
+    rows-only `multimodal_frames` entry emits must obey the container
+    arithmetic it was synthesized from — media v-K is a 10 fps video of
+    (2 + K%5) seconds, sampled at target_fps=2 => stride 5, ts = idx/rate —
+    and every media id must emit EXACTLY duration*target_fps frames (no
+    dropped or duplicated samples). Violations must be empty. The exact
+    row set can't be SQL-compared (the media ids come from an unordered
+    limit), so like the other *_sound entries this re-verifies invariants
+    of the reported rows instead (multimodal.py:180-196)."""
+    frames = q_multimodal_frames(spark, sf_dir)
+    k = F.split(F.col("media_id"), "-").getItem(1).cast("long")
+    dur_frames = (F.lit(2) + k % 5) * 10  # duration_s * rate
+    bad_rows = (
+        frames.where(
+            (F.col("frame_index") % 5 != 0)
+            | (F.col("frame_index") >= dur_frames)
+            | (F.col("frame_index") < 0)
+            | (F.abs(F.col("ts_s") - F.col("frame_index") / 10.0) > 1e-9)
+        )
+        .select("media_id", F.lit("bad_frame").alias("reason"))
+    )
+    bad_counts = (
+        frames.groupBy("media_id")
+        .agg(F.count("*").alias("n"), F.count_distinct("frame_index").alias("nd"))
+        .where((F.col("n") != (F.lit(2) + k % 5) * 2) | (F.col("n") != F.col("nd")))
+        .select("media_id", F.lit("bad_count").alias("reason"))
+    )
+    return bad_rows.unionByName(bad_counts)
+
+
+SQL_FRAMES_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+
 def _near_dup_images(spark, sf_dir, n_base: int = 300) -> DataFrame:
     """Deterministic image table with planted perceptual twins: one base
     image per part key; every 4th key also gets a noise-perturbed copy
@@ -1548,6 +1585,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "image_decode_phash": q_image_decode_phash,
     "multimodal_frames": q_multimodal_frames,
+    "frames_sound": q_frames_sound,
     "crawl_bsp": q_crawl_bsp,
 }
 
@@ -1580,6 +1618,7 @@ ORACLES = {
     "ivf_sound": SQL_IVF_SOUND,
     "embedding_sound": SQL_EMBEDDING_SOUND,
     "image_phash_sound": SQL_IMAGE_PHASH_SOUND,
+    "frames_sound": SQL_FRAMES_SOUND,
 }
 
 
