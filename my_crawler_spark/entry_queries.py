@@ -883,6 +883,30 @@ def q_image_decode_phash(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_decode_sound(spark, sf_dir) -> DataFrame:
+    """Soundness oracle for the rows-only `image_decode_phash` entry: every
+    image in the round-trip table must decode (decode_ok), hash to the
+    independently-computed driver-side phash (phash_ok), and keep its
+    16x16 geometry. Violations must be empty — the binary payloads
+    themselves can't be SQL-compared, but the verification columns can."""
+    out = q_image_decode_phash(spark, sf_dir)
+    return (
+        out.where(
+            (~F.col("decode_ok"))
+            | (~F.col("phash_ok"))
+            | (F.col("w") != 16)
+            | (F.col("h") != 16)
+        )
+        .select("image_id", F.lit("bad_decode").alias("reason"))
+    )
+
+
+SQL_DECODE_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS image_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+
 def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     """Video frame-sampling plumbing over fake media containers."""
     import pandas as pd
@@ -1586,6 +1610,7 @@ QUERIES = {
     "image_decode_phash": q_image_decode_phash,
     "multimodal_frames": q_multimodal_frames,
     "frames_sound": q_frames_sound,
+    "decode_sound": q_decode_sound,
     "crawl_bsp": q_crawl_bsp,
 }
 
@@ -1619,6 +1644,7 @@ ORACLES = {
     "embedding_sound": SQL_EMBEDDING_SOUND,
     "image_phash_sound": SQL_IMAGE_PHASH_SOUND,
     "frames_sound": SQL_FRAMES_SOUND,
+    "decode_sound": SQL_DECODE_SOUND,
 }
 
 
