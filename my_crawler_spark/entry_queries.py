@@ -26,6 +26,7 @@ from .functions.url import (
     url_host,
 )
 from .operators import dedup as D
+from .operators import sampling as SMP
 from .operators import search as S
 from .operators import simsearch as SS
 from .operators import textstats as TS
@@ -783,6 +784,135 @@ SQL_JACCARD_PAIRS = """
            round(i / (sa.sz + sb.sz - i), 6) AS jaccard
     FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
     WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    """Link-based popularity over the synthesized crawl graph: 10 power
+    iterations, damping 0.85, dangling mass redistributed uniformly
+    (the self-owned complement to R5's external Tranco popularity)."""
+    from .operators.graph import pagerank
+
+    pr = pagerank(_edges(spark, sf_dir), iters=10, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (one plain CTE level per power
+    iteration — no recursive-CTE aggregation restrictions to fight)."""
+    levels = []
+    for k in range(1, iters + 1):
+        levels.append(
+            f"""pr{k} AS MATERIALIZED (
+      SELECT nd.node, nd.deg,
+             CAST({1.0 - d} AS DOUBLE) / (SELECT n FROM nn)
+             + CAST({d} AS DOUBLE) * (
+                 COALESCE(c.contrib, 0)
+                 + (SELECT COALESCE(sum(rank), 0) FROM pr{k - 1} WHERE deg IS NULL)
+                   / (SELECT n FROM nn)
+               ) AS rank
+      FROM nd
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / p.deg) AS contrib
+        FROM pr{k - 1} p JOIN edges e ON e.src = p.node
+        GROUP BY e.dst) c ON c.node = nd.node)"""
+        )
+    joined = ",\n    ".join(levels)
+    return f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+    outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    nd AS MATERIALIZED (SELECT nodes.node, outdeg.deg FROM nodes LEFT JOIN outdeg USING (node)),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+    pr0 AS MATERIALIZED (SELECT node, deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nd),
+    {joined}
+    SELECT node, round(rank, 6) AS rank FROM pr{iters}
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Transitive duplicate clusters over the n-gram Jaccard pairs:
+    connected components (min-label + pointer doubling), canonical
+    representative = min doc_id per component — the keeper-selection step
+    after pair generation."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=5, threshold=0.2, max_doc_freq=200)
+    out = D.duplicate_clusters(pairs)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({SQL_JACCARD_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+    SELECT lab.id AS doc_id, cluster_id, cluster_size
+    FROM lab JOIN sz USING (cluster_id)
+"""
+
+
+def q_hash_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic 10% sample of documents keyed on sha256(doc_id) — a
+    pure filter (no shuffle, reproducible across retries/engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return SMP.hash_sample(d, "doc_id", 0.1).select("doc_id", "lang", "n_chars")
+
+
+SQL_HASH_SAMPLE = f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12)
+          < '{format(int(0.1 * (1 << 48)), "012x")}'
+"""
+
+
+def q_sample_splits(spark, sf_dir) -> DataFrame:
+    """Named train/val/test split assignment from cumulative hash-key
+    boundaries (80/10/5, remainder unassigned NULL)."""
+    d = _t(spark, sf_dir, "documents")
+    out = SMP.split_assign(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05})
+    return out.select("doc_id", "split")
+
+
+SQL_SAMPLE_SPLITS = f"""
+    SELECT doc_id,
+           CASE WHEN k < '{format(int(0.8 * (1 << 48)), "012x")}' THEN 'train'
+                WHEN k < '{format(int(0.9 * (1 << 48)), "012x")}' THEN 'val'
+                WHEN k < '{format(int(0.95 * (1 << 48)), "012x")}' THEN 'test'
+                ELSE NULL END AS split
+    FROM (SELECT doc_id,
+                 substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) AS k
+          FROM documents)
+"""
+
+
+def q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic per-language quota sample: 20 smallest hash keys per
+    lang stratum (one shuffle on the stratum key)."""
+    d = _t(spark, sf_dir, "documents")
+    return SMP.stratified_sample(d, "doc_id", "lang", 20).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
 """
 
 
@@ -1593,6 +1723,11 @@ QUERIES = {
     "rank_boosts": q_rank_boosts,
     "dedup_diversify_paginate": q_dedup_diversify_paginate,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "pagerank": q_pagerank,
+    "hash_sample": q_hash_sample,
+    "sample_splits": q_sample_splits,
+    "stratified_sample": q_stratified_sample,
     "crawl_gates": q_crawl_gates,
     "minhash_sound": q_minhash_sound,
     "simhash_sound": q_simhash_sound,
@@ -1636,6 +1771,11 @@ ORACLES = {
     "rank_boosts": SQL_RANK_BOOSTS,
     "dedup_diversify_paginate": SQL_DEDUP_DIVERSIFY_PAGINATE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "pagerank": SQL_PAGERANK,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "sample_splits": SQL_SAMPLE_SPLITS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "crawl_gates": SQL_CRAWL_GATES,
     "minhash_sound": SQL_MINHASH_SOUND,
     "simhash_sound": SQL_SIMHASH_SOUND,

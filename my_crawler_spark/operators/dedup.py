@@ -212,6 +212,89 @@ def near_duplicates_minhash(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pair edges -> one row per node:
+    (id, cluster_id, cluster_size), cluster_id = min node id in the
+    component. This is the step every dedup pipeline needs AFTER pair
+    generation: pairs alone don't say which documents to keep — the
+    canonical representative (min id) per transitive duplicate cluster does.
+
+    Algorithm: min-label propagation with pointer doubling. Per iteration,
+    every node takes the least of (its label, its neighbors' labels) and
+    then follows its label's label (lab <- lab(lab)), so label information
+    travels both one edge AND one pointer-hop per round — convergence in
+    O(log(longest path)) iterations rather than O(diameter). Labels are
+    monotonically non-increasing and bounded below by the component min,
+    so the first no-change iteration is the fixpoint.
+
+    Iteration state is checkpointed to parquet each round (the pointer-hop
+    join references the stepped labels twice, so raw lineage would DOUBLE
+    per iteration — cache/persist truncates execution but not the analyzed
+    plan, and localCheckpoint blocks outlive unpersist; a scan-only
+    round-trip is the shape that survives, and it is also the right shape
+    on a real cluster where iteration state belongs in the lake). The
+    working set is only nodes that appear in some pair — tiny relative to
+    the corpus — and each iteration is two shuffle joins + one bounded
+    convergence scan.
+    """
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="dup_clusters_")
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    try:
+        (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("nmin"))
+            .select(F.col("src").alias("id"), F.least("src", "nmin").alias("lab"))
+            .write.mode("overwrite")
+            .parquet(f"{ckpt}/it0")
+        )
+        labels = spark.read.parquet(f"{ckpt}/it0")
+        for it in range(1, max_iters + 1):
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("lab").alias("nl"))
+                .select(F.col("src").alias("id"), "nl")
+            )
+            stepped = (
+                labels.select("id", F.col("lab").alias("old"))
+                .join(nbr, "id", "left")
+                .select("id", "old", F.least("old", F.coalesce("nl", "old")).alias("lab"))
+            )
+            parent = stepped.select(F.col("id").alias("lab"), F.col("lab").alias("plab"))
+            (
+                stepped.join(parent, "lab", "left")
+                .select(
+                    "id",
+                    F.least("lab", F.coalesce("plab", "lab")).alias("lab"),
+                    (F.least("lab", F.coalesce("plab", "lab")) < F.col("old")).alias("chg"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{ckpt}/it{it}")
+            )
+            labels = spark.read.parquet(f"{ckpt}/it{it}").select("id", "lab")
+            if spark.read.parquet(f"{ckpt}/it{it}").where("chg").isEmpty():
+                break
+        sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+        return labels.join(sizes, "lab").select(
+            "id", F.col("lab").alias("cluster_id"), "cluster_size"
+        )
+    finally:
+        edges.unpersist()
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

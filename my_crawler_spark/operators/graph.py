@@ -1,0 +1,86 @@
+"""Link-graph analytics over the crawl graph.
+
+The reference ranks pages by an *external* popularity list (Tranco,
+ranking.rs:79-82); a crawl engine that owns the link graph can compute
+link-based popularity itself. `pagerank` is the standard power iteration,
+built the same way as `dedup.duplicate_clusters`: a fixed number of
+join+aggregate rounds with iteration state checkpointed to parquet (raw
+lineage would nest one join tree per iteration; a scan-only round-trip
+keeps the plan flat, and on a real cluster iteration state belongs in the
+lake anyway).
+
+Semantics (classic, deterministic given `iters`):
+- rank_0(v) = 1/N over all nodes (src ∪ dst)
+- rank_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} rank_k(u)/outdeg(u) + D_k/N)
+  where D_k = Σ rank_k(u) over dangling nodes (no out-edges) — dangling
+  mass is redistributed uniformly, so Σ rank = 1 at every iteration (the
+  tests assert it).
+
+Scale notes: per iteration one shuffle join on src + one groupBy(dst) +
+one scalar aggregate (the dangling mass — a single collected double, same
+cost class as the crawl plan's per-round max-chain-hops scalar). The edge
+list is persisted once; iteration state is O(nodes).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after `iters` power iterations; Σ rank = 1."""
+    spark = edges.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="pagerank_")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+        # node dim (node, deg NULL = dangling), written once
+        nodes.join(outdeg, "node", "left").write.mode("overwrite").parquet(f"{ckpt}/nodes")
+        nd = spark.read.parquet(f"{ckpt}/nodes")
+        n = nd.count()
+        if n == 0:
+            return nd.select("node", F.lit(0.0).alias("rank"))
+        nd.withColumn("rank", F.lit(1.0 / n)).write.mode("overwrite").parquet(f"{ckpt}/it0")
+        for it in range(1, iters + 1):
+            ranks = spark.read.parquet(f"{ckpt}/it{it - 1}")
+            dangling = (
+                ranks.where(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            contrib = (
+                ranks.join(e, ranks.node == e.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            )
+            (
+                nd.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    "deg",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                    ).alias("rank"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{ckpt}/it{it}")
+            )
+        return spark.read.parquet(f"{ckpt}/it{iters}").select("node", "rank")
+    finally:
+        e.unpersist()

@@ -1,0 +1,83 @@
+"""Deterministic sampling for training-data curation.
+
+A 100 TB pipeline samples constantly — held-out eval splits, per-language
+quotas, ablation subsets — and `F.rand()` is the wrong tool: it is
+non-reproducible across retries/stage re-execution (a recomputed partition
+draws new randomness, so a lost executor silently changes the sample).
+These operators key every decision on a cryptographic hash of a stable id,
+so the sample is a pure function of the data: reproducible across runs,
+engines (the DuckDB oracles run the same expression), and cluster sizes.
+
+- hash_fraction     : uniform-in-[0,1) sort/threshold key from any id column
+                      (first 12 hex chars of sha256 — lexicographic compare
+                      on fixed-width lowercase hex == numeric compare)
+- hash_sample       : keep rows with hash_fraction < rate. A pure filter —
+                      no shuffle, pushes to the scan, trivially scales.
+- split_assign      : named train/val/test-style splits from cumulative
+                      rate boundaries, same hash key (one pass, no shuffle).
+- stratified_sample : deterministic top-`quota` per stratum ordered by the
+                      hash (one shuffle on the stratum key). For mega-strata
+                      where quota << stratum size, pre-thin with hash_sample
+                      at a safe oversample rate first so the window sorts a
+                      bounded set — the two compose because both order by
+                      the SAME hash key (prefix-stability: the top-k by hash
+                      survives any hash-prefix filter that keeps >= k rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 12  # 48 bits of the digest: plenty below float precision loss
+
+
+def hash_fraction(col) -> F.Column:
+    """Deterministic uniform key: first 12 hex chars of sha256(id)."""
+    return F.substring(F.sha2(col.cast("string"), 256), 1, _HEX_WIDTH)
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(int(rate * (1 << (4 * _HEX_WIDTH))), f"0{_HEX_WIDTH}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic ~`rate` sample keyed on sha256(key_col)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.where(hash_fraction(F.col(key_col)) < F.lit(_hex_threshold(rate)))
+
+
+def split_assign(df: DataFrame, key_col: str, splits: dict[str, float]) -> DataFrame:
+    """Adds a `split` column assigning each row to one named split by
+    cumulative rate boundaries over the hash key (rates must sum to <= 1;
+    remainder rows get NULL — 'unassigned'). Stable under re-execution and
+    under adding MORE splits later from the remainder."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("split rates sum above 1")
+    key = hash_fraction(F.col(key_col))
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bounds = []
+    for name, rate in splits.items():
+        cum += rate
+        bounds.append((name, _hex_threshold(cum)))
+    for name, hi in reversed(bounds):
+        expr = F.when(key < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, quota: int
+) -> DataFrame:
+    """Deterministic `quota` rows per stratum: the quota smallest hash keys
+    within each stratum (ties broken by the key itself). One shuffle."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_fraction(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

@@ -1,0 +1,119 @@
+"""Duplicate-cluster canonicalization + deterministic sampling.
+
+duplicate_clusters: connected components over near-dup pairs (min-label
+propagation + pointer doubling, parquet-checkpointed iterations).
+sampling: sha256-keyed reproducible sampling (hash_sample / split_assign /
+stratified_sample) — cross-checked against hashlib ground truth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from my_crawler_spark.operators.dedup import duplicate_clusters
+from my_crawler_spark.operators.sampling import (
+    _hex_threshold,
+    hash_sample,
+    split_assign,
+    stratified_sample,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _clusters(df):
+    rows = df.collect()
+    return {r["id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+
+
+def test_clusters_chain_clique_and_pair(spark):
+    # chain 1-2-3, clique {10,11,12}, pair {20,21}
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+    )
+    got = _clusters(duplicate_clusters(pairs))
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        20: (20, 2), 21: (20, 2),
+    }
+
+
+def test_clusters_long_chain_converges(spark):
+    # 40-node path: diameter 39, pointer doubling must converge well inside
+    # max_iters=25 (log2(40) ~ 5.3 pointer-hop rounds)
+    n = 40
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
+    got = _clusters(duplicate_clusters(pairs))
+    assert set(got) == set(range(n))
+    assert all(v == (0, n) for v in got.values())
+
+
+def test_clusters_reverse_labeled_chain(spark):
+    # min id at the FAR end of the chain (worst case for propagation)
+    pairs = _pairs(spark, [(i, i + 1) for i in range(10, 20)]).union(
+        _pairs(spark, [(20, 1)])
+    )
+    got = _clusters(duplicate_clusters(pairs))
+    assert all(cid == 1 for cid, _ in got.values())
+    assert all(sz == 12 for _, sz in got.values())
+
+
+def test_clusters_empty_pairs(spark):
+    out = duplicate_clusters(_pairs(spark, []))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "cluster_id", "cluster_size"]
+
+
+def _truth_frac(key) -> str:
+    return hashlib.sha256(str(key).encode()).hexdigest()[:12]
+
+
+def test_hash_sample_matches_hashlib_truth(spark):
+    ids = list(range(500))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    want = {i for i in ids if _truth_frac(i) < _hex_threshold(0.2)}
+    assert got == want
+    assert 0.1 < len(got) / len(ids) < 0.3  # ~uniform
+
+
+def test_hash_sample_nested_rates(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.05).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).collect()}
+    assert small <= big  # prefix stability: lower rate is a subset
+
+
+def test_split_assign_disjoint_and_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1})
+    b = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05})
+    ga = {r["doc_id"]: r["split"] for r in a.collect()}
+    gb = {r["doc_id"]: r["split"] for r in b.collect()}
+    # adding a later split never moves earlier assignments
+    for k, v in ga.items():
+        if v is not None:
+            assert gb[k] == v
+    assert {v for v in gb.values()} == {"train", "val", "test", None}
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)] + [
+        (1000 + i, "tiny") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "doc_id", "lang", 10)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 10, "de": 10, "fr": 10, "tiny": 4}
+    # deterministic: the quota-smallest hashlib keys per stratum
+    en_want = sorted(
+        (i for i, l in rows if l == "en"), key=lambda i: (_truth_frac(i), i)
+    )[:10]
+    en_got = sorted(r["doc_id"] for r in out.where("lang = 'en'").collect())
+    assert en_got == sorted(en_want)

@@ -1,0 +1,66 @@
+"""PageRank over the link graph — verified against an independent numpy
+power iteration with identical semantics (uniform dangling redistribution)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from my_crawler_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, iters=10, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = r[out == 0].sum()
+        nxt += d * dangling / n
+        for u, v in edges:
+            nxt[idx[v]] += d * r[idx[u]] / out[idx[u]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # simple cycle + chain + dangling sink ("d" has no out-edges)
+        [("a", "b"), ("b", "a"), ("c", "a"), ("a", "d")],
+        # star: hub pointed at by everyone, hub dangling
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub")],
+    ],
+)
+def test_pagerank_matches_numpy(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_sink_gains_rank(spark):
+    # everyone links to 'hub'; hub must outrank the spokes
+    edges = [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=15).collect()}
+    assert got["hub"] > max(got["s1"], got["s2"], got["s3"])
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # edge list is DISTINCTed: duplicates must not double-weight a link
+    once = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")]
+    twice = once + [("a", "b")]
+    d1 = spark.createDataFrame(once, "src string, dst string")
+    d2 = spark.createDataFrame(twice, "src string, dst string")
+    g1 = {r["node"]: r["rank"] for r in pagerank(d1).collect()}
+    g2 = {r["node"]: r["rank"] for r in pagerank(d2).collect()}
+    for k in g1:
+        assert g1[k] == pytest.approx(g2[k], abs=1e-12)
