@@ -964,15 +964,14 @@ def q_ivf_topk(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_image_decode_phash(spark, sf_dir) -> DataFrame:
-    """E10 plumbing over a deterministic image table synthesized from part:
-    encode seeded pixels per row, decode via the Arrow stage, verify phash
-    and (for lossy) the PSNR >= 40 dB invariant. No SQL oracle (binary)."""
+def _image_table(spark, sf_dir) -> DataFrame:
+    """Deterministic (image_id, bytes, phash_true) image table synthesized
+    from part keys — shared by the decode/phash, image ANN, and near-dup
+    entries."""
     import pandas as pd
 
     from . import codecs as C
     from .fixtures import make_pixels
-    from .operators.multimodal import decode_stats
 
     # limit() collapses to one partition — spread the codec work back out
     # (the real JPEG encode/decode per row single-tasked 2000 rows otherwise)
@@ -999,9 +998,16 @@ def q_image_decode_phash(spark, sf_dir) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "phash_true"])
 
-    images = part.mapInPandas(
-        gen, "image_id string, bytes binary, phash_true long"
-    )
+    return part.mapInPandas(gen, "image_id string, bytes binary, phash_true long")
+
+
+def q_image_decode_phash(spark, sf_dir) -> DataFrame:
+    """E10 plumbing over a deterministic image table synthesized from part:
+    encode seeded pixels per row, decode via the Arrow stage, verify phash
+    and (for lossy) the PSNR >= 40 dB invariant. No SQL oracle (binary)."""
+    from .operators.multimodal import decode_stats
+
+    images = _image_table(spark, sf_dir)
     stats = decode_stats(images)
     joined = stats.join(images.select("image_id", "phash_true"), "image_id")
     return joined.select(
@@ -1033,6 +1039,77 @@ def q_decode_sound(spark, sf_dir) -> DataFrame:
 
 SQL_DECODE_SOUND = """
     SELECT CAST(NULL AS VARCHAR) AS image_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+
+def _image_feature_table(spark, sf_dir) -> DataFrame:
+    """(image_id, features) — luma-histogram vectors from the synthesized
+    image table (decode happens in the Arrow stage)."""
+    from .operators.multimodal import image_features
+
+    return image_features(_image_table(spark, sf_dir).select("image_id", "bytes"))
+
+
+_IMAGE_ANN_QUERY_IDS = ("p-1", "p-2", "p-3")
+
+
+def _image_ann(spark, sf_dir):
+    feats = _image_feature_table(spark, sf_dir)
+    feats.persist()
+    qs = [
+        (int(r["image_id"][2:]), list(map(float, r["features"])))
+        for r in feats.filter(F.col("image_id").isin(*_IMAGE_ANN_QUERY_IDS)).collect()
+    ]
+    ann = SS.brute_force_topk(feats, qs, k=10, id_col="image_id", vec_col="features")
+    return feats, qs, ann
+
+
+def q_image_ann_topk(spark, sf_dir) -> DataFrame:
+    """Image similarity search: the image axis composed with the ANN suite —
+    luma-histogram feature vectors -> brute-force cosine top-10 for three
+    query images. Rows-only (binary decode upstream); exactness pinned by
+    `image_ann_sound`."""
+    _, _, ann = _image_ann(spark, sf_dir)
+    return ann.select("query_id", "image_id", F.round("cos", 4).alias("cos"), "rank")
+
+
+def q_image_ann_sound(spark, sf_dir) -> DataFrame:
+    """Soundness oracle for `image_ann_topk`: brute force means the reported
+    set must BE the global top-10 (per query) under the independent truth
+    plan — same ids, same ranks, cosines within 1e-6. Violations empty."""
+    from .operators.search import cosine
+
+    feats, qs, ann = _image_ann(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in qs], "query_id long, qv array<double>"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_true"), F.col("i2"))
+    truth = (
+        feats.select(F.col("image_id").alias("i2"), F.col("features").alias("fv"))
+        .crossJoin(F.broadcast(qdf))
+        .select("query_id", "i2", cosine(F.col("fv"), F.col("qv")).alias("cos_true"))
+        .withColumn("rank_true", F.row_number().over(w))
+        .filter(F.col("rank_true") <= 10)
+    )
+    joined = ann.join(
+        truth,
+        (ann["query_id"] == truth["query_id"]) & (ann["image_id"] == F.col("i2")),
+        "full_outer",
+    )
+    return joined.filter(
+        ann["query_id"].isNull()  # truth row missing from the answer
+        | truth["query_id"].isNull()  # answer row outside the true top-k
+        | (F.col("rank") != F.col("rank_true"))
+        | (F.abs(F.col("cos") - F.col("cos_true")) > 1e-6)
+    ).select(
+        F.coalesce(ann["query_id"], truth["query_id"]).alias("query_id"),
+        F.coalesce(ann["image_id"], F.col("i2")).alias("image_id"),
+    )
+
+
+SQL_IMAGE_ANN_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS VARCHAR) AS image_id
     WHERE 1 = 0
 """
 
@@ -1746,6 +1823,8 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "frames_sound": q_frames_sound,
     "decode_sound": q_decode_sound,
+    "image_ann_topk": q_image_ann_topk,
+    "image_ann_sound": q_image_ann_sound,
     "crawl_bsp": q_crawl_bsp,
 }
 
@@ -1785,6 +1864,7 @@ ORACLES = {
     "image_phash_sound": SQL_IMAGE_PHASH_SOUND,
     "frames_sound": SQL_FRAMES_SOUND,
     "decode_sound": SQL_DECODE_SOUND,
+    "image_ann_sound": SQL_IMAGE_ANN_SOUND,
 }
 
 
