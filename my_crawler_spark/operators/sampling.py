@@ -38,7 +38,13 @@ def hash_fraction(col) -> F.Column:
 
 
 def _hex_threshold(rate: float) -> str:
-    return format(int(rate * (1 << (4 * _HEX_WIDTH))), f"0{_HEX_WIDTH}x")
+    v = int(rate * (1 << (4 * _HEX_WIDTH)))
+    if v >= (1 << (4 * _HEX_WIDTH)):
+        # rate == 1.0 must keep EVERY key: a 13-char "1000…" compares
+        # lexicographically BELOW every 12-char hex key, so use a sentinel
+        # above the hex alphabet instead ('g' > 'f' > any hex char)
+        return "g"
+    return format(v, f"0{_HEX_WIDTH}x")
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
@@ -62,7 +68,9 @@ def split_assign(df: DataFrame, key_col: str, splits: dict[str, float]) -> DataF
     bounds = []
     for name, rate in splits.items():
         cum += rate
-        bounds.append((name, _hex_threshold(cum)))
+        # float summation noise (0.8+0.1+0.1 == 0.9999999999999999) must not
+        # strand boundary keys: snap a within-epsilon-of-1 bound to exactly 1
+        bounds.append((name, _hex_threshold(1.0 if cum >= 1.0 - 1e-9 else cum)))
     for name, hi in reversed(bounds):
         expr = F.when(key < F.lit(hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)

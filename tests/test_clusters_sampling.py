@@ -90,6 +90,17 @@ def test_hash_sample_nested_rates(spark):
     assert small <= big  # prefix stability: lower rate is a subset
 
 
+def test_hash_sample_rate_one_keeps_all(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    assert hash_sample(df, "doc_id", 1.0).count() == 100
+
+
+def test_split_assign_rates_summing_to_one_cover_everyone(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.where("split IS NULL").count() == 0
+
+
 def test_split_assign_disjoint_and_stable(spark):
     df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
     a = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1})
