@@ -916,6 +916,65 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_corpus_curation(spark, sf_dir) -> DataFrame:
+    """End-to-end training-corpus curation, the chain a 100 TB pipeline runs
+    nightly: quality gate -> language gate -> near-dup keeper selection ->
+    deterministic split. Keeper = min doc_id of the doc's transitive Jaccard
+    cluster, computed over the FULL corpus (not the gated survivors) so the
+    canonical choice never shifts when gates are retuned. Splits 90/5/5 sum
+    to 1.0 — every survivor lands in a split (exercises the rate-1.0
+    sentinel path in sampling.split_assign). All four stages are individually
+    oracled (quality_score / lang_id / dedup_clusters / sample_splits); this
+    entry pins their COMPOSITION."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TS.lang_id_expr(F.col("text")).alias("lang_guess"),
+        TS.quality_score_expr(F.col("text")).alias("quality"),
+    )
+    gated = scored.where((F.col("quality") >= 0.5) & (F.col("lang_guess") != "und"))
+    pairs = D.jaccard_pairs(d, n=5, threshold=0.2, max_doc_freq=200)
+    losers = (
+        D.duplicate_clusters(pairs)
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = gated.join(losers, "doc_id", "left_anti")
+    out = SMP.split_assign(kept, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select("doc_id", "lang_guess", "quality", "split")
+
+
+SQL_CORPUS_CURATION = f"""
+    WITH RECURSIVE pairs AS ({SQL_JACCARD_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    losers AS (
+      SELECT id AS doc_id
+      FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      WHERE id <> cluster_id),
+    qual AS ({SQL_QUALITY_SCORE}),
+    lang AS ({SQL_LANG_ID}),
+    keyed AS (SELECT doc_id, substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) AS k
+              FROM documents)
+    SELECT keyed.doc_id, lang_guess, quality,
+           CASE WHEN k < '{format(int(0.9 * (1 << 48)), "012x")}' THEN 'train'
+                WHEN k < '{format(int(0.95 * (1 << 48)), "012x")}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    JOIN qual USING (doc_id)
+    JOIN lang USING (doc_id)
+    WHERE quality >= 0.5 AND lang_guess <> 'und'
+      AND keyed.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: engine-specific hashing / binary payloads)
 # --------------------------------------------------------------------------
@@ -1805,6 +1864,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "sample_splits": q_sample_splits,
     "stratified_sample": q_stratified_sample,
+    "corpus_curation": q_corpus_curation,
     "crawl_gates": q_crawl_gates,
     "minhash_sound": q_minhash_sound,
     "simhash_sound": q_simhash_sound,
@@ -1855,6 +1915,7 @@ ORACLES = {
     "hash_sample": SQL_HASH_SAMPLE,
     "sample_splits": SQL_SAMPLE_SPLITS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "crawl_gates": SQL_CRAWL_GATES,
     "minhash_sound": SQL_MINHASH_SOUND,
     "simhash_sound": SQL_SIMHASH_SOUND,
