@@ -1324,6 +1324,87 @@ SQL_IMAGE_PHASH_SOUND = """
 """
 
 
+def _image_curation(spark, sf_dir):
+    """Shared plan for the image-axis curation pipeline: decode gate ->
+    perceptual near-dup keeper selection -> deterministic split. The image
+    analogue of corpus_curation: keeper = min image_id of the transitive
+    phash-Hamming cluster (hamming <= 6, pigeonhole-blocked join); splits
+    90/5/5 sum to 1.0 so every keeper is assigned."""
+    from .operators.multimodal import curate_images
+
+    return curate_images(_near_dup_images(spark, sf_dir), max_hamming=6, blocks=8)
+
+
+def q_image_curation(spark, sf_dir) -> DataFrame:
+    """End-to-end image curation (decode -> phash dedup keeper -> split).
+    Rows-only (binary decode + engine-specific phash upstream); the
+    composition's invariants are pinned by image_curation_sound below."""
+    _, _, out = _image_curation(spark, sf_dir)
+    return out.select("image_id", "split")
+
+
+def q_image_curation_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for image_curation. Three invariants:
+    (1) no two SURVIVING images are within hamming <= 6 under brute-force
+        all-pairs (a surviving near-pair would mean the components merged
+        wrong or the keeper drop missed a member);
+    (2) conservation: every decode-gated image is exactly a survivor or a
+        dropped duplicate — nobody vanishes;
+    (3) every survivor got a split (the rate-1.0 sentinel covers the tail);
+    (4) anti-vacuity: an EMPTY decode-gated input is itself a violation —
+        a bad gate must not let the other three checks pass by emptiness
+        (exactly the failure mode a hardcoded-geometry gate hit in dev).
+    The brute-force check is the truth plan — quadratic, test-scale only,
+    like every other *_sound truth plan here."""
+    gated, losers, out = _image_curation(spark, sf_dir)
+    survivors = out.select("image_id", "split")
+    a = survivors.select(F.col("image_id").alias("id_a"))
+    b = survivors.select(F.col("image_id").alias("id_b"))
+    ph = gated.select(F.col("image_id").alias("pid"), "phash")
+    near_survivors = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(ph.select(F.col("pid").alias("id_a"), F.col("phash").alias("ph_a")), "id_a")
+        .join(ph.select(F.col("pid").alias("id_b"), F.col("phash").alias("ph_b")), "id_b")
+        .filter(F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= 6)
+        .select(F.lit("surviving_near_pair").alias("violation"), "id_a", "id_b")
+    )
+    accounted = survivors.select("image_id").union(losers.select("image_id"))
+    vanished = (
+        gated.select("image_id")
+        .join(accounted, "image_id", "left_anti")
+        .select(
+            F.lit("vanished").alias("violation"),
+            F.col("image_id").alias("id_a"),
+            F.lit(None).cast("string").alias("id_b"),
+        )
+    )
+    unsplit = survivors.where(F.col("split").isNull()).select(
+        F.lit("unassigned_split").alias("violation"),
+        F.col("image_id").alias("id_a"),
+        F.lit(None).cast("string").alias("id_b"),
+    )
+    empty_input = (
+        gated.groupBy()
+        .count()
+        .where(F.col("count") == 0)
+        .select(
+            F.lit("empty_pipeline").alias("violation"),
+            F.lit(None).cast("string").alias("id_a"),
+            F.lit(None).cast("string").alias("id_b"),
+        )
+    )
+    return near_survivors.union(vanished).union(unsplit).union(empty_input)
+
+
+SQL_IMAGE_CURATION_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS id_a,
+           CAST(NULL AS VARCHAR) AS id_b
+    WHERE 1 = 0
+"""
+
+
 def q_crawl_bsp(spark, sf_dir) -> DataFrame:
     """The real BSP crawl runner over the deterministic fixture web —
     rows-only here; exact equivalence vs the sequential reference simulator
@@ -1885,6 +1966,8 @@ QUERIES = {
     "decode_sound": q_decode_sound,
     "image_ann_topk": q_image_ann_topk,
     "image_ann_sound": q_image_ann_sound,
+    "image_curation": q_image_curation,
+    "image_curation_sound": q_image_curation_sound,
     "crawl_bsp": q_crawl_bsp,
 }
 
@@ -1926,6 +2009,7 @@ ORACLES = {
     "frames_sound": SQL_FRAMES_SOUND,
     "decode_sound": SQL_DECODE_SOUND,
     "image_ann_sound": SQL_IMAGE_ANN_SOUND,
+    "image_curation_sound": SQL_IMAGE_CURATION_SOUND,
 }
 
 

@@ -109,6 +109,43 @@ def image_near_duplicates(
     return hamming_near_pairs(ph, "image_id", "phash", max_hamming, blocks)
 
 
+def curate_images(
+    images: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    splits: dict[str, float] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """End-to-end image curation — the image-axis analogue of the text
+    corpus pipeline: decode gate -> perceptual near-dup keeper selection ->
+    deterministic split. Keeper = min image_id of the transitive
+    phash-Hamming cluster (canonical choice is a pure function of the
+    cluster, so it never shifts when gates are retuned); undecodable rows
+    fall at the gate; default splits 90/5/5 sum to 1.0 so every keeper is
+    assigned. Returns (gated, dropped_duplicates, curated) — curated has
+    (image_id, phash, split). Every stage is relational or one Arrow
+    decode pass; the pair join and the component loop shuffle on bounded
+    keys, so the chain holds at 10^9 images with the blocks/hamming
+    scaling noted on image_near_duplicates."""
+    from .dedup import duplicate_clusters, hamming_near_pairs
+    from .sampling import split_assign
+
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    gated = (
+        decode_stats(images)
+        .filter(F.col("decode_ok") & (F.col("w") > 0) & (F.col("h") > 0))
+        .select("image_id", "phash")
+    )
+    pairs = hamming_near_pairs(gated, "image_id", "phash", max_hamming, blocks)
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("image_id")
+    )
+    keepers = gated.join(losers, "image_id", "left_anti")
+    curated = split_assign(keepers, "image_id", splits)
+    return gated, losers, curated
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

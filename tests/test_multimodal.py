@@ -119,3 +119,28 @@ def test_hamming_near_pairs_rejects_unsound_params():
         from my_crawler_spark.operators.dedup import hamming_near_pairs
 
         hamming_near_pairs(None, "id", "h", max_hamming=4, blocks=4)
+
+
+def test_curate_images_end_to_end(spark, twin_images):
+    """Decode gate drops the garbage row; exactly one of each planted twin
+    pair survives (the lexicographic min, i.e. the base); survivors are
+    pairwise non-near under brute force; every survivor gets a split."""
+    gated, losers, curated = MM.curate_images(twin_images, max_hamming=6, blocks=8)
+    gated_ids = {r.image_id for r in gated.select("image_id").collect()}
+    assert "bad" not in gated_ids  # decode gate
+    rows = curated.collect()
+    survivors = {r.image_id for r in rows}
+    for i in range(0, 30, 3):
+        assert f"b{i}" in survivors  # keeper = min id = the base
+        assert f"b{i}-t" not in survivors  # twin dropped
+    # conservation: gated = survivors + dropped duplicates, disjointly
+    dropped = {r.image_id for r in losers.collect()}
+    assert survivors | dropped == gated_ids and not (survivors & dropped)
+    # splits cover every survivor (rates sum to 1.0 -> sentinel path)
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # survivors pairwise non-near under brute force
+    ph = {r.image_id: r.phash for r in gated.collect()}
+    for a in survivors:
+        for b in survivors:
+            if a < b:
+                assert codecs.hamming64(ph[a], ph[b]) > 6
