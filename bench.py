@@ -204,7 +204,7 @@ def bench_queries(spark, sf_dir) -> dict[str, float]:
         "bm25_topk", "ann_cosine_topk", "minhash_lsh_pairs", "simhash_pairs",
         "url_canonicalize", "bfs_frontier", "image_decode_phash",
         "image_near_dup", "dedup_diversify_paginate", "events_sessionize",
-        "dedup_clusters", "corpus_curation",
+        "dedup_clusters", "corpus_curation", "caption_alignment",
     ]:
         t0 = time.time()
         n = EQ.QUERIES[name](spark, sf_dir).count()

@@ -1173,6 +1173,144 @@ SQL_IMAGE_ANN_SOUND = """
 """
 
 
+_ALIGN_THRESHOLD = 0.95
+
+
+def _captioned_image_table(spark, sf_dir) -> DataFrame:
+    """(image_id, bytes, caption) pairs for the alignment scorer. Every 5th
+    row is a planted TRUE pair (pixels synthesized FROM the caption's token
+    histogram, lossless png); the rest pair seeded sine-pattern pixels with
+    an unrelated caption — the mismatched-scrape case a CLIP gate drops.
+    Separate from _image_table so the ANN/near-dup/curation entries keep
+    their pixel distribution (and their oracles) untouched."""
+    import pandas as pd
+
+    from . import codecs as C
+    from .fixtures import aligned_pixels_for_caption, make_caption, make_pixels
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .limit(1000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                caption = make_caption(11, k)
+                if k % 5 == 0 and caption.strip():
+                    px = aligned_pixels_for_caption(caption, 16, 16)
+                    fmt = "png"  # lossless: the planted histogram survives
+                else:
+                    px = make_pixels(11, k, 16, 16)
+                    fmt = ["png", "jpeg", "webp"][k % 3]
+                rows.append((f"c-{k}", C.encode_image(px, fmt), caption))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "caption"])
+
+    return part.mapInPandas(gen, "image_id string, bytes binary, caption string")
+
+
+def q_caption_alignment(spark, sf_dir) -> DataFrame:
+    """Cross-modal caption-image alignment scoring (the CLIP-score gate of
+    a LAION-style curation pipeline) with deterministic stand-in encoders:
+    luma histogram (Arrow decode pass) x token-hash histogram (pure JVM) ->
+    JVM cosine -> threshold gate. Rows-only (binary decode upstream);
+    exactness + anti-vacuity pinned by `caption_alignment_sound`."""
+    from .operators.multimodal import caption_alignment
+
+    out = caption_alignment(
+        _captioned_image_table(spark, sf_dir), threshold=_ALIGN_THRESHOLD
+    )
+    return out.select(
+        "image_id", F.round("align_score", 4).alias("align_score"), "aligned"
+    )
+
+
+def q_caption_alignment_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for `caption_alignment`. An independent
+    single-pass numpy recompute (zlib.crc32 tokenizer vs JVM crc32, numpy
+    cosine vs JVM zip_with/aggregate, its own decode invocation) re-scores
+    every row; violations:
+      (1) score_mismatch: |reported - recomputed| > 1e-5
+      (2) flag_mismatch : `aligned` inconsistent with the threshold
+      (3) anti-vacuity  : empty input, zero planted pairs scoring >= 0.98,
+          or zero sub-threshold rows — any of these means the gate can't
+          be separating anything and the empty result would be a lie."""
+    import pandas as pd
+
+    from . import codecs as C
+    from .operators.multimodal import caption_alignment
+
+    images = _captioned_image_table(spark, sf_dir)
+    reported = caption_alignment(images, threshold=_ALIGN_THRESHOLD)
+
+    def rescore(batches):
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for iid, data, caption in zip(
+                pdf["image_id"], pdf["bytes"], pdf["caption"]
+            ):
+                px = C.decode_image(bytes(data))
+                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                ih, _ = np.histogram(luma, bins=16, range=(0, 256))
+                iv = ih.astype(np.float32)
+                iv /= iv.sum() or 1.0
+                toks = [t for t in (caption or "").lower().split() if t]
+                th = np.zeros(16, dtype=np.float64)
+                for t in toks:
+                    th[zlib.crc32(t.encode("utf-8")) % 16] += 1
+                tv = (th / max(len(toks), 1)).astype(np.float32)
+                if not toks:
+                    s = 0.0
+                else:
+                    denom = float(np.linalg.norm(iv) * np.linalg.norm(tv))
+                    s = float(iv.astype(np.float64) @ tv.astype(np.float64)) / denom if denom else 0.0
+                rows.append((iid, s))
+            yield pd.DataFrame(rows, columns=["image_id", "score_true"])
+
+    truth = images.mapInPandas(rescore, "image_id string, score_true double")
+    j = reported.join(truth, "image_id", "full_outer")
+    mismatches = j.where(
+        F.col("align_score").isNull()
+        | F.col("score_true").isNull()
+        | (F.abs(F.col("align_score") - F.col("score_true")) > 1e-5)
+        | (F.col("aligned") != (F.col("score_true") >= F.lit(_ALIGN_THRESHOLD)))
+    ).select(
+        F.lit("score_mismatch").alias("violation"),
+        F.col("image_id"),
+        (F.col("align_score") - F.col("score_true")).alias("delta"),
+    )
+    agg = reported.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("align_score") >= 0.98, 1).otherwise(0)).alias("hi"),
+        F.sum(F.when(~F.col("aligned"), 1).otherwise(0)).alias("lo"),
+    )
+    vacuity = (
+        agg.where((F.col("n") == 0) | (F.col("hi") == 0) | (F.col("lo") == 0))
+        .select(
+            F.lit("vacuous_gate").alias("violation"),
+            F.lit(None).cast("string").alias("image_id"),
+            F.lit(None).cast("double").alias("delta"),
+        )
+    )
+    return mismatches.union(vacuity)
+
+
+SQL_CAPTION_ALIGNMENT_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS image_id,
+           CAST(NULL AS DOUBLE) AS delta
+    WHERE 1 = 0
+"""
+
+
 def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     """Video frame-sampling plumbing over fake media containers."""
     import pandas as pd
@@ -1968,6 +2106,8 @@ QUERIES = {
     "image_ann_sound": q_image_ann_sound,
     "image_curation": q_image_curation,
     "image_curation_sound": q_image_curation_sound,
+    "caption_alignment": q_caption_alignment,
+    "caption_alignment_sound": q_caption_alignment_sound,
     "crawl_bsp": q_crawl_bsp,
 }
 
@@ -2010,6 +2150,7 @@ ORACLES = {
     "decode_sound": SQL_DECODE_SOUND,
     "image_ann_sound": SQL_IMAGE_ANN_SOUND,
     "image_curation_sound": SQL_IMAGE_CURATION_SOUND,
+    "caption_alignment_sound": SQL_CAPTION_ALIGNMENT_SOUND,
 }
 
 

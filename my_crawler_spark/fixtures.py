@@ -72,6 +72,35 @@ def make_pixels(seed: int, i: int, w: int, h: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def aligned_pixels_for_caption(
+    caption: str, w: int, h: int, bins: int = 16
+) -> np.ndarray:
+    """Pixels whose luma histogram matches the caption's token-hash
+    histogram (operators/multimodal.py::caption_features: whitespace
+    tokens, crc32 % bins, L1-normalized) — a planted TRUE caption-image
+    pair for the alignment scorer. Gray pixels at bin centers so luma ==
+    pixel value exactly and lossless decode reproduces the histogram."""
+    import zlib
+
+    toks = [t for t in (caption or "").lower().split() if t]
+    hist = np.zeros(bins, dtype=np.float64)
+    for t in toks:
+        hist[zlib.crc32(t.encode("utf-8")) % bins] += 1
+    if hist.sum() == 0:
+        hist[:] = 1.0
+    total = w * h
+    counts = np.floor(hist / hist.sum() * total).astype(int)
+    order = np.argsort(-hist, kind="stable")
+    for j in range(total - int(counts.sum())):  # remainder, largest bins first
+        counts[order[j % bins]] += 1
+    width = 256 // bins
+    vals = np.repeat(
+        (np.arange(bins) * width + width // 2).astype(np.uint8), counts
+    )
+    gray = vals.reshape(h, w)
+    return np.stack([gray, gray, gray], -1)
+
+
 def make_images(seed: int = 42, n: int = 200, w: int = 24, h: int = 24) -> pd.DataFrame:
     """The payload table — exact input_hint schema."""
     fmts = ["png", "jpeg", "webp"]

@@ -17,6 +17,12 @@ Operators:
 - resize_images    : area-mean downsample to (w, h), re-encoded png
 - image_features   : tiny deterministic feature vector (luma histogram) —
   the hook where a real vision encoder would slot in
+- caption_features : deterministic pseudo text encoder (token-hash
+  histogram, pure JVM expressions — no Python stage) sharing the image
+  feature space; the hook where a real text tower would slot in
+- caption_alignment: cross-modal alignment score per (image, caption)
+  row — the CLIP-filtering slot of a LAION-style curation pipeline,
+  with deterministic stand-in encoders and real Spark plumbing
 - sample_video_frames: frame indices at a target fps from the fake
   container's metadata (decode itself stubbed)
 """
@@ -203,6 +209,63 @@ def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "features"])
 
     return images.select("image_id", "bytes").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def caption_features(
+    df: DataFrame,
+    caption_col: str = "caption",
+    bins: int = 16,
+    out_col: str = "caption_features",
+) -> DataFrame:
+    """Deterministic pseudo text encoder: whitespace-tokenize, bucket each
+    token by crc32 into ``bins`` slots, L1-normalized histogram — the same
+    feature space as ``image_features`` so the two towers can be scored
+    against each other. Pure JVM column expressions (split/transform/
+    filter/crc32), no Python stage; crc32 (not xxhash64) so fixtures and
+    the soundness oracle can recompute buckets with ``zlib.crc32``.
+
+    Space-less CJK captions collapse to one token (one spike) — the honest
+    behavior of a whitespace stand-in where a real tokenizer would slot in.
+    Adds ``caption_n_tokens`` (0 for empty captions -> zero vector)."""
+    tokens = F.filter(
+        F.split(F.lower(F.coalesce(F.col(caption_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    bids = F.transform(tokens, lambda t: F.pmod(F.crc32(F.encode(t, "UTF-8")), F.lit(bins)))
+    n = F.size(bids)
+
+    def _eq(i):  # NB: a 2-arg lambda would be read as filter's (elem, idx) form
+        return lambda b: b == F.lit(i)
+
+    hist = F.array(*[F.size(F.filter(bids, _eq(i))) for i in range(bins)])
+    feats = F.transform(hist, lambda c: (c / F.greatest(n, F.lit(1))).cast("float"))
+    return df.withColumn("caption_n_tokens", n).withColumn(out_col, feats)
+
+
+def caption_alignment(
+    images: DataFrame, bins: int = 16, threshold: float = 0.95
+) -> DataFrame:
+    """Cross-modal caption-image alignment score — the CLIP-score gate of a
+    LAION-style pipeline (keep pairs whose image and caption embeddings
+    agree; drop mismatched scrapes). Encoders are deterministic stand-ins
+    (luma histogram / token-hash histogram in a shared ``bins``-d space);
+    the plumbing — one Arrow decode pass, JVM text featurization, JVM
+    cosine, threshold gate — is the real shape.
+
+    Returns (image_id, align_score, aligned). Empty captions score 0.0
+    (nothing to align); degenerate zero vectors land on 0.0 via nanvl."""
+    from .search import cosine
+
+    feats = image_features(images, bins=bins)
+    caps = caption_features(images.select("image_id", "caption"), bins=bins)
+    score = F.when(F.col("caption_n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.nanvl(cosine(F.col("features"), F.col("caption_features")), F.lit(0.0))
+    )
+    return (
+        feats.join(caps, "image_id")
+        .select("image_id", score.alias("align_score"))
+        .withColumn("aligned", F.col("align_score") >= F.lit(threshold))
+    )
 
 
 FRAME_SCHEMA = T.StructType(

@@ -144,3 +144,49 @@ def test_curate_images_end_to_end(spark, twin_images):
         for b in survivors:
             if a < b:
                 assert codecs.hamming64(ph[a], ph[b]) > 6
+
+
+def test_caption_alignment_separates_planted_pairs(spark):
+    """Planted TRUE pairs (pixels synthesized from the caption's token
+    histogram) score ~1.0 and pass the gate; mismatched pairs (sine
+    pixels x unrelated caption) score below it; empty captions score 0."""
+    from my_crawler_spark.fixtures import aligned_pixels_for_caption
+
+    rows = []
+    for i in range(12):
+        caption = " ".join(f"word{(i * 7 + j) % 31}" for j in range(5 + i))
+        if i % 2 == 0:
+            px = aligned_pixels_for_caption(caption, 20, 20)
+        else:
+            px = make_pixels(13, i, 20, 20)
+        rows.append((f"a{i}", codecs.encode_image(px, "png"), caption))
+    rows.append(("empty", codecs.encode_image(make_pixels(13, 99, 20, 20), "png"), ""))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    got = {r.image_id: r for r in MM.caption_alignment(df, threshold=0.95).collect()}
+    planted = [got[f"a{i}"].align_score for i in range(0, 12, 2)]
+    mismatched = [got[f"a{i}"].align_score for i in range(1, 12, 2)]
+    assert min(planted) >= 0.98 and all(got[f"a{i}"].aligned for i in range(0, 12, 2))
+    assert max(mismatched) < min(planted)
+    assert got["empty"].align_score == 0.0 and got["empty"].aligned is False
+
+
+def test_caption_features_pure_jvm(spark):
+    """The text tower is column expressions only — no Python stage in the
+    plan (split/transform/filter/crc32), so it runs inside codegen at any
+    scale; and its buckets match a zlib.crc32 recompute."""
+    import zlib
+
+    df = spark.createDataFrame(
+        [("x", "Alpha beta GAMMA alpha"), ("y", None)], "image_id string, caption string"
+    )
+    out = MM.caption_features(df, bins=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    got = {r.image_id: r for r in out.collect()}
+    hist = [0.0] * 8
+    for t in "alpha beta gamma alpha".split():
+        hist[zlib.crc32(t.encode()) % 8] += 0.25
+    assert got["x"].caption_n_tokens == 4
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got["x"].caption_features, hist))
+    assert got["y"].caption_n_tokens == 0 and sum(got["y"].caption_features) == 0.0
