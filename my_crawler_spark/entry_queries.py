@@ -787,6 +787,70 @@ SQL_JACCARD_PAIRS = """
 """
 
 
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile-style n-gram train/test
+    overlap): an eval set is synthesized from the corpus itself —
+    contaminated prompts are verbatim 18-token slices of documents
+    (doc_id % 23), clean probes are the same slices with word order
+    REVERSED (doc_id % 29, eval_id offset +100000) so they share vocab
+    but no 8-gram. Reports (doc_id, eval_id, n_shared >= 3 distinct
+    8-grams); a doc's planted near-duplicates are correctly flagged
+    against its eval too (that is what decontamination is for)."""
+    from .operators.dedup import ngram_contamination, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toksed = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 26
+    )
+    cont = toksed.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice("toks", 4, 18)).alias("text"),
+    )
+    clean = toksed.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 100000).alias("eval_id"),
+        F.concat_ws(" ", F.slice(F.reverse("toks"), 4, 18)).alias("text"),
+    )
+    out = ngram_contamination(docs, cont.unionByName(clean), n=8, min_overlap=3)
+    return out.select(
+        "doc_id", "eval_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+SQL_DECONTAMINATE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    ev AS (
+      SELECT doc_id AS eval_id, array_to_string(toks[4:21], ' ') AS text
+      FROM t WHERE len(toks) >= 26 AND doc_id % 23 = 0
+      UNION ALL
+      SELECT doc_id + 100000 AS eval_id,
+             array_to_string(list_reverse(toks)[4:21], ' ') AS text
+      FROM t WHERE len(toks) >= 26 AND doc_id % 29 = 0),
+    dsh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(toks) < 8 THEN []
+             ELSE [md5(array_to_string(toks[i + 1 : i + 8], ' '))
+                   FOR i IN range(0, len(toks) - 8 + 1)] END) AS h
+      FROM t),
+    et AS (
+      SELECT eval_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM ev),
+    esh AS (
+      SELECT DISTINCT eval_id, unnest(
+        CASE WHEN len(toks) < 8 THEN []
+             ELSE [md5(array_to_string(toks[i + 1 : i + 8], ' '))
+                   FOR i IN range(0, len(toks) - 8 + 1)] END) AS h
+      FROM et)
+    SELECT d.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM dsh d JOIN esh e USING (h)
+    GROUP BY d.doc_id, e.eval_id
+    HAVING count(*) >= 3
+"""
+
+
 def q_pagerank(spark, sf_dir) -> DataFrame:
     """Link-based popularity over the synthesized crawl graph: 10 power
     iterations, damping 0.85, dangling mass redistributed uniformly
@@ -2078,6 +2142,7 @@ QUERIES = {
     "rank_boosts": q_rank_boosts,
     "dedup_diversify_paginate": q_dedup_diversify_paginate,
     "jaccard_pairs": q_jaccard_pairs,
+    "decontaminate": q_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "pagerank": q_pagerank,
     "hash_sample": q_hash_sample,
@@ -2133,6 +2198,7 @@ ORACLES = {
     "rank_boosts": SQL_RANK_BOOSTS,
     "dedup_diversify_paginate": SQL_DEDUP_DIVERSIFY_PAGINATE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pagerank": SQL_PAGERANK,
     "hash_sample": SQL_HASH_SAMPLE,

@@ -19,6 +19,8 @@ the only Python is hashing inside whole-stage-codegen-friendly exprs
                           ANY 64-bit fingerprint column (SimHash, image
                           phash, ...) — exact while blocks > max_hamming
 - near_duplicates_minhash: end-to-end LSH + exact-Jaccard verification
+- ngram_contamination   : benchmark decontamination — (doc, eval) pairs
+                          sharing n-grams, broadcast eval side
 
 Scale notes: every operator is a constant number of shuffles independent
 of corpus size; LSH bands make the near-dup join linear-ish in candidates.
@@ -439,4 +441,41 @@ def embedding_near_duplicates(
         .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    evals: DataFrame,
+    n: int = 8,
+    min_overlap: int = 3,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (doc, eval) pairs sharing >= min_overlap
+    DISTINCT word n-grams — the GPT-3/Pile-style 13-gram train/test overlap
+    check (shorter n here for the short-document test corpus).
+
+    Shape at 10^10 docs: shingles ride as fixed-width md5 join keys; the
+    eval side (benchmarks are tiny vs the corpus) is deduped then BROADCAST,
+    so the corpus side never shuffles — one explode + one broadcast join +
+    one groupBy on (doc, eval) pairs that actually overlap. No Python.
+    """
+
+    def side(df: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
+        t = df.select(F.col(idc).alias(out_id), tokens(F.col(txt)).alias("toks"))
+        sh = t.select(
+            out_id, F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("shingle")
+        )
+        return sh.select(out_id, F.md5(F.col("shingle")).alias("h")).distinct()
+
+    d = side(docs, doc_id_col, doc_text_col, "doc_id")
+    e = side(evals, eval_id_col, eval_text_col, "eval_id")
+    return (
+        d.join(F.broadcast(e), "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
     )

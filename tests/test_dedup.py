@@ -108,3 +108,32 @@ def test_embedding_near_duplicates_lsh_blocked(spark):
     assert lsh <= exact  # exact-cosine verify: no false positives
     planted = {(2 * i, 2 * i + 1) for i in range(60)} & exact
     assert len(lsh & planted) >= 0.9 * len(planted)
+
+
+def test_ngram_contamination(spark):
+    """Verbatim-slice evals flag their source doc (and nothing else);
+    vocabulary-sharing but reordered evals do not fire; the threshold
+    drops marginal single-shingle overlaps."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " quebec romeo sierra tango"),
+            (2, "uniform victor whiskey xray yankee zulu one two three four five six seven eight nine ten"),
+            (3, "totally different words everywhere nothing shared here at all in this document text body"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, " ".join(base.split()[2:13])),            # verbatim slice of doc 1
+            (11, " ".join(reversed(base.split()))),         # same vocab, reversed
+            (12, "one two three four five six seven eight"),  # verbatim slice of doc 2
+        ],
+        "eval_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.n_shared
+        for r in D.ngram_contamination(docs, evals, n=5, min_overlap=3).collect()
+    }
+    assert set(got) == {(1, 10), (2, 12)}
+    assert got[(1, 10)] == 11 - 5 + 1  # every 5-gram of the 11-token slice
