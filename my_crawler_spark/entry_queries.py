@@ -529,6 +529,45 @@ SQL_DOC_FINGERPRINT = """
 """
 
 
+def q_repetition_stats(spark, sf_dir) -> DataFrame:
+    """Gopher-family repetition quality signals (unique-token fraction,
+    top-2-gram coverage, duplicate-8-gram fraction) per document."""
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) < 2 THEN []
+                  ELSE [array_to_string(toks[i + 1 : i + 2], ' ')
+                        FOR i IN range(0, len(toks) - 2 + 1)] END AS g2,
+             CASE WHEN len(toks) < 8 THEN []
+                  ELSE [array_to_string(toks[i + 1 : i + 8], ' ')
+                        FOR i IN range(0, len(toks) - 8 + 1)] END AS g8
+      FROM t),
+    m AS (
+      SELECT doc_id, max(cnt) AS m2 FROM (
+        SELECT doc_id, gram, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM b)
+        GROUP BY doc_id, gram)
+      GROUP BY doc_id)
+    SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(len(list_distinct(toks)) / greatest(n, 1), 6) AS unique_token_frac,
+           round(CASE WHEN len(g2) > 0 THEN coalesce(m2, 0) * 2.0 / greatest(n, 1)
+                      ELSE 0 END, 6) AS top2gram_frac,
+           round(CASE WHEN len(g8) > 0
+                      THEN 1 - len(list_distinct(g8)) / CAST(len(g8) AS DOUBLE)
+                      ELSE 0 END, 6) AS dup_8gram_frac
+    FROM b LEFT JOIN m USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Retrieval: BM25, dense ANN, RRF fusion, boosts, diversify
 # --------------------------------------------------------------------------
@@ -2136,6 +2175,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
     "bm25_topk": q_bm25_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "rrf_fusion": q_rrf_fusion,
@@ -2192,6 +2232,7 @@ ORACLES = {
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_stats": SQL_REPETITION_STATS,
     "bm25_topk": SQL_BM25_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "rrf_fusion": SQL_RRF_FUSION,

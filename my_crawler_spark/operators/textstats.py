@@ -8,6 +8,8 @@ All pure column expressions (JVM/codegen) — no UDFs:
 - token_count exprs : whitespace tokens + a BPE-ish regex token count
 - doc_fingerprint   : winnowing-style fingerprint = min xxhash64 over
   word 8-grams (rolling-hash analogue, one explode)
+- repetition_stats  : Gopher-family repetition signals (unique-token /
+  top-2-gram / duplicate-8-gram fractions)
 """
 
 from __future__ import annotations
@@ -105,3 +107,57 @@ def doc_fingerprint(
         F.array_min(F.transform(F.col("_grams"), lambda g: F.xxhash64(g))),
     ).otherwise(F.xxhash64(F.lower(F.col(text_col))))
     return grammed.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-family repetition quality signals per document (the filters a
+    100 TB corpus pipeline runs before training; Rae et al. 2021 §A.1.1,
+    FineWeb's repetition gates):
+
+    - unique_token_frac : distinct tokens / tokens (low -> loops/boilerplate)
+    - top2gram_frac     : tokens covered by the most frequent 2-gram / tokens
+    - dup_8gram_frac    : 1 - distinct 8-grams / 8-grams
+
+    unique/8-gram fractions are pure per-row array expressions (zero
+    shuffle); the top-2-gram mode is one explode + keyed agg on id_col —
+    the standard scalable shape (never an O(k^2) per-row filter scan).
+    Line-level Gopher signals are omitted: this corpus is single-line by
+    construction and they would be vacuously zero."""
+    from .dedup import ngrams_from_tokens, tokens
+
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    base = t.select(
+        id_col,
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        ngrams_from_tokens(F.col("toks"), 2).alias("g2"),
+        ngrams_from_tokens(F.col("toks"), 8).alias("g8"),
+    )
+    m2 = (
+        base.select(id_col, F.explode_outer("g2").alias("gram"))
+        .groupBy(id_col, "gram")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max(F.when(F.col("gram").isNotNull(), F.col("count")).otherwise(0)).alias("m2"))
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    return (
+        base.join(m2, id_col)
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.size(F.array_distinct("toks")) / denom, 6).alias("unique_token_frac"),
+            F.round(
+                F.when(F.size("g2") > 0, F.col("m2") * 2 / denom).otherwise(0.0), 6
+            ).alias("top2gram_frac"),
+            F.round(
+                F.when(
+                    F.size("g8") > 0,
+                    1 - F.size(F.array_distinct("g8")) / F.size("g8").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_8gram_frac"),
+        )
+    )

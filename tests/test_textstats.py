@@ -53,3 +53,27 @@ def test_fingerprint_deterministic(spark, docs):
     f2 = {r.doc_id: r.fingerprint for r in TS.doc_fingerprint(docs).collect()}
     assert f1 == f2
     assert len(set(f1.values())) == len(f1)  # distinct docs -> distinct fps
+
+
+def test_repetition_stats(spark):
+    """A looping doc reads high on every repetition signal; a diverse doc
+    reads low; a short doc hits the guards (no 8-grams -> 0.0)."""
+    loop = "spam ham " * 20                       # 40 tokens, 2 distinct
+    varied = " ".join(f"w{i}" for i in range(40))  # 40 tokens, all distinct
+    rows = [(1, loop), (2, varied), (3, "tiny doc")]
+    got = {
+        r.doc_id: r
+        for r in TS.repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1].unique_token_frac == round(2 / 40, 6)
+    # "spam ham" occurs 20x, "ham spam" 19x -> top 2-gram covers 40/40 tokens
+    assert got[1].top2gram_frac == 1.0
+    # 33 8-grams, only 2 distinct (alternating phase)
+    assert got[1].dup_8gram_frac == round(1 - 2 / 33, 6)
+    assert got[2].unique_token_frac == 1.0
+    assert got[2].top2gram_frac == round(2 / 40, 6)  # every 2-gram unique
+    assert got[2].dup_8gram_frac == 0.0
+    assert got[3].n_tokens == 2 and got[3].dup_8gram_frac == 0.0
+    assert got[3].top2gram_frac == 1.0  # its single 2-gram covers both tokens
