@@ -568,6 +568,77 @@ SQL_REPETITION_STATS = """
 """
 
 
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """C4-style PII redaction. The corpus has no PII by construction, so
+    deterministic emails/phones/IPv4s are planted (doc_id % 13/17/19) with
+    the IDENTICAL concat in the DuckDB oracle — counts and the scrubbed
+    text must hash-match, which pins both the counting and the redaction
+    regexes across Java regex and RE2."""
+    from .operators.textstats import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 17 == 0,
+                F.concat(
+                    F.lit(" call +1 555-123-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 19 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+SQL_PII_SCRUB = r"""
+    WITH p AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN ' call +1 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 19 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id * 7) % 256 AS VARCHAR) || ' today'
+                ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+    FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Retrieval: BM25, dense ANN, RRF fusion, boosts, diversify
 # --------------------------------------------------------------------------
@@ -2176,6 +2247,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
     "bm25_topk": q_bm25_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "rrf_fusion": q_rrf_fusion,
@@ -2233,6 +2305,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_stats": SQL_REPETITION_STATS,
+    "pii_scrub": SQL_PII_SCRUB,
     "bm25_topk": SQL_BM25_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "rrf_fusion": SQL_RRF_FUSION,

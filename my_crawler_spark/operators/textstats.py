@@ -10,6 +10,7 @@ All pure column expressions (JVM/codegen) — no UDFs:
   word 8-grams (rolling-hash analogue, one explode)
 - repetition_stats  : Gopher-family repetition signals (unique-token /
   top-2-gram / duplicate-8-gram fractions)
+- pii_scrub         : C4-style PII count + redaction (email/phone/IPv4)
 """
 
 from __future__ import annotations
@@ -160,4 +161,35 @@ def repetition_stats(
                 6,
             ).alias("dup_8gram_frac"),
         )
+    )
+
+
+PII_EMAIL = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style PII scrubbing: count and redact emails, E.164-ish phone
+    numbers and IPv4 literals. Pure regexp column expressions (codegen,
+    zero shuffle, one pass over the corpus). The patterns avoid
+    lookarounds on purpose so the exact same strings run under Java
+    regex (Spark) and RE2 (the DuckDB oracle). Redaction order is fixed
+    (email -> ip -> phone) and the patterns are mutually disjoint."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
     )

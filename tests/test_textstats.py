@@ -77,3 +77,22 @@ def test_repetition_stats(spark):
     assert got[2].dup_8gram_frac == 0.0
     assert got[3].n_tokens == 2 and got[3].dup_8gram_frac == 0.0
     assert got[3].top2gram_frac == 1.0  # its single 2-gram covers both tokens
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "reach me at jane.doe+x@mail-host.org or call +1 555-123-4567 ok"),
+        (2, "server at 192.168.1.200 and 10.0.0.1 responded"),
+        (3, "nothing sensitive here at all"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in TS.pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (1, 1, 0)
+    assert got[1].scrubbed == "reach me at <EMAIL> or call <PHONE> ok"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 2)
+    assert got[2].scrubbed == "server at <IP> and <IP> responded"
+    assert got[3].scrubbed == rows[2][1] and got[3].n_emails == 0
