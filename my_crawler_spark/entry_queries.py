@@ -639,6 +639,38 @@ SQL_PII_SCRUB = r"""
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_mixture_rebalance(spark, sf_dir) -> DataFrame:
+    """Source-mixture rebalancing (DoReMi/Pile-style domain reweighting):
+    resample the corpus to target weights {src0:.4, src1:.3, src2:.2,
+    src3:.1} by downsampling only — the uniform fixture sources make the
+    plan non-trivial (src0 keeps everything; src3 keeps a quarter). The
+    DuckDB oracle recomputes the identical plan (min-over-sources T, per
+    source keep rate) and the identical sha256 threshold filter."""
+    from .operators.sampling import apply_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return apply_mixture(d, _MIX_WEIGHTS).select("doc_id", "source")
+
+
+SQL_MIXTURE_REBALANCE = """
+    WITH w(source, weight) AS (VALUES
+        ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+    avail AS (SELECT source, count(*) AS available FROM documents GROUP BY source),
+    j AS (SELECT a.source, a.available, w.weight FROM avail a JOIN w USING (source)),
+    tt AS (SELECT min(available / weight) AS T FROM j),
+    plan AS (SELECT source, least(1.0, weight * T / available) AS keep_rate FROM j, tt)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN plan USING (source)
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) <
+          CASE WHEN keep_rate >= 1.0 THEN 'g'
+               ELSE printf('%012x', CAST(floor(keep_rate * 281474976710656.0) AS BIGINT)) END
+"""
+
+
 # --------------------------------------------------------------------------
 # Retrieval: BM25, dense ANN, RRF fusion, boosts, diversify
 # --------------------------------------------------------------------------
@@ -2248,6 +2280,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "mixture_rebalance": q_mixture_rebalance,
     "bm25_topk": q_bm25_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "rrf_fusion": q_rrf_fusion,
@@ -2306,6 +2339,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_scrub": SQL_PII_SCRUB,
+    "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "bm25_topk": SQL_BM25_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "rrf_fusion": SQL_RRF_FUSION,

@@ -22,6 +22,9 @@ engines (the DuckDB oracles run the same expression), and cluster sizes.
                       bounded set — the two compose because both order by
                       the SAME hash key (prefix-stability: the top-k by hash
                       survives any hash-prefix filter that keeps >= k rows).
+- mixture_plan /    : source-mixture rebalancing (DoReMi/Pile-style domain
+  apply_mixture       reweighting) — largest downsample-only corpus hitting
+                      target weights, applied via per-source hash thresholds.
 """
 
 from __future__ import annotations
@@ -88,4 +91,67 @@ def stratified_sample(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= quota)
         .drop("__rn")
+    )
+
+
+def _hex_threshold_col(rate) -> F.Column:
+    """Column form of _hex_threshold: 12-char lowercase hex of
+    trunc(rate * 2^48), 'g' sentinel at rate >= 1 (see hash_sample)."""
+    v = F.floor(rate * F.lit(float(1 << (4 * _HEX_WIDTH)))).cast("long")
+    return F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(v), _HEX_WIDTH, "0"))
+    )
+
+
+def mixture_plan(
+    docs: DataFrame, weights: dict[str, float], source_col: str = "source"
+) -> DataFrame:
+    """Source-mixture rebalancing plan (the domain-reweighting step of a
+    DoReMi/Pile-style pipeline): given target mixture weights, find the
+    LARGEST corpus achievable by downsampling only (no upsampling) and
+    each source's keep rate.
+
+        T           = min over weighted sources of available_s / w_s
+        keep_rate_s = min(1, w_s * T / available_s)
+
+    Returns (source, available, weight, keep_rate). All DataFrame-side:
+    one groupBy(source) count + one scalar min + a broadcast of the tiny
+    plan — no collect, no driver loop. Sources absent from `weights` are
+    excluded (weight 0); weighted sources absent from the corpus cannot
+    constrain T (nothing to sample from them is representable without
+    upsampling, which this plan never does)."""
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(
+        list(weights.items()), f"{source_col} string, weight double"
+    )
+    avail = docs.groupBy(source_col).agg(F.count("*").alias("available"))
+    j = avail.join(F.broadcast(w_df), source_col)
+    t = j.agg(F.min(F.col("available") / F.col("weight")).alias("T"))
+    return j.crossJoin(F.broadcast(t)).select(
+        source_col,
+        F.col("available").cast("long").alias("available"),
+        "weight",
+        F.least(
+            F.lit(1.0), F.col("weight") * F.col("T") / F.col("available")
+        ).alias("keep_rate"),
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Resample `docs` to the target source mixture: broadcast-join the
+    mixture_plan and keep rows whose hash key falls under their source's
+    keep-rate threshold. Same sha256 key as hash_sample, so the result is
+    reproducible across runs, engines and cluster sizes, and composes
+    with split_assign/stratified_sample (shared key, prefix stability)."""
+    plan = mixture_plan(docs, weights, source_col)
+    thresh = _hex_threshold_col(F.col("keep_rate"))
+    return (
+        docs.join(F.broadcast(plan.select(source_col, "keep_rate")), source_col)
+        .where(hash_fraction(F.col(key_col)) < thresh)
+        .drop("keep_rate")
     )

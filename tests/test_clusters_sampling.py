@@ -128,3 +128,28 @@ def test_stratified_sample_quota_and_determinism(spark):
     )[:10]
     en_got = sorted(r["doc_id"] for r in out.where("lang = 'en'").collect())
     assert en_got == sorted(en_want)
+
+
+def test_mixture_rebalance(spark):
+    """Plan math: T binds on the scarcest-relative source; the over-weighted
+    scarce source keeps everything; kept rows are exactly the hashlib truth
+    under each source's rate (downsampling only, deterministic)."""
+    from my_crawler_spark.operators.sampling import apply_mixture, mixture_plan
+
+    rows = [(i, "A") for i in range(8)]
+    rows += [(100 + i, "B") for i in range(4)]
+    rows += [(200 + i, "C") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"A": 0.5, "B": 0.25, "C": 0.25}
+    # T = min(8/.5, 4/.25, 2/.25) = 8 -> rates A .5, B .5, C 1.0
+    plan = {r.source: r for r in mixture_plan(df, weights).collect()}
+    assert plan["A"].keep_rate == 0.5 and plan["B"].keep_rate == 0.5
+    assert plan["C"].keep_rate == 1.0 and plan["C"].available == 2
+    kept = {r.doc_id for r in apply_mixture(df, weights).collect()}
+    want = set()
+    for i, src in rows:
+        rate = plan[src].keep_rate
+        if _truth_frac(i) < _hex_threshold(rate):
+            want.add(i)
+    assert kept == want
+    assert {200, 201} <= kept  # rate-1.0 source fully kept (sentinel path)
