@@ -671,6 +671,37 @@ SQL_MIXTURE_REBALANCE = """
 """
 
 
+def q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """GPT-style sequence packing of the corpus into 128-token training
+    sequences, sharded by source: one partitioned window cumsum + a bounded
+    explode. All integer arithmetic, so the DuckDB oracle is exact."""
+    from .operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=128)
+
+
+SQL_PACK_SEQUENCES = """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '')) AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM t WHERE n > 0),
+    x AS (
+      SELECT doc_id, source, e - n AS start_tok, e AS end_tok,
+             unnest(range(CAST(floor((e - n) / 128) AS BIGINT),
+                          CAST(floor((e - 1) / 128) AS BIGINT) + 1)) AS seq_id
+      FROM s)
+    SELECT doc_id, source, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(start_tok, seq_id * 128) - seq_id * 128 AS BIGINT) AS tok_start,
+           CAST(least(end_tok, (seq_id + 1) * 128) - seq_id * 128 AS BIGINT) AS tok_end
+    FROM x
+"""
+
+
 # --------------------------------------------------------------------------
 # Retrieval: BM25, dense ANN, RRF fusion, boosts, diversify
 # --------------------------------------------------------------------------
@@ -2281,6 +2312,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "mixture_rebalance": q_mixture_rebalance,
+    "pack_sequences": q_pack_sequences,
     "bm25_topk": q_bm25_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "rrf_fusion": q_rrf_fusion,
@@ -2340,6 +2372,7 @@ ORACLES = {
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_scrub": SQL_PII_SCRUB,
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "bm25_topk": SQL_BM25_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "rrf_fusion": SQL_RRF_FUSION,

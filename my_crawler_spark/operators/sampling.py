@@ -25,6 +25,8 @@ engines (the DuckDB oracles run the same expression), and cluster sizes.
 - mixture_plan /    : source-mixture rebalancing (DoReMi/Pile-style domain
   apply_mixture       reweighting) — largest downsample-only corpus hitting
                       target weights, applied via per-source hash thresholds.
+- pack_sequences    : GPT-style concat-and-chunk packing into fixed-token
+                      training sequences (per-shard window cumsum).
 """
 
 from __future__ import annotations
@@ -154,4 +156,63 @@ def apply_mixture(
         docs.join(F.broadcast(plan.select(source_col, "keep_rate")), source_col)
         .where(hash_fraction(F.col(key_col)) < thresh)
         .drop("keep_rate")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (deterministic
+    id order) within each shard and chunk the token stream into fixed
+    `seq_len` training sequences; documents may span a boundary. Emits one
+    row per (document, sequence) overlap with within-sequence offsets:
+    (id, shard, seq_id, tok_start, tok_end) — exactly the index a packed
+    dataloader needs.
+
+    Shape: one window cumsum PARTITIONED BY the shard (never a global
+    unpartitioned window) + one bounded explode over the few sequences a
+    document touches. All integer arithmetic — the DuckDB oracle is exact,
+    not tolerance-based. Empty documents are dropped (zero tokens pack to
+    nothing)."""
+    from .dedup import tokens
+
+    t = docs.select(
+        F.col(id_col),
+        F.col(shard_col),
+        F.size(tokens(F.col(text_col))).alias("n"),
+    ).where(F.col("n") > 0)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = t.select(
+        id_col,
+        shard_col,
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("start"),
+        F.sum("n").over(w).alias("end"),
+    )
+    L = F.lit(seq_len)
+    seqs = spans.select(
+        id_col,
+        shard_col,
+        "start",
+        "end",
+        F.explode(
+            F.sequence(F.floor(F.col("start") / L), F.floor((F.col("end") - 1) / L))
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("seq_id") * L)
+    hi = F.least(F.col("end"), (F.col("seq_id") + 1) * L)
+    return seqs.select(
+        id_col,
+        shard_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (lo - F.col("seq_id") * L).cast("long").alias("tok_start"),
+        (hi - F.col("seq_id") * L).cast("long").alias("tok_end"),
     )

@@ -153,3 +153,31 @@ def test_mixture_rebalance(spark):
             want.add(i)
     assert kept == want
     assert {200, 201} <= kept  # rate-1.0 source fully kept (sentinel path)
+
+
+def test_pack_sequences(spark):
+    """Hand-checked packing: docs of 5/10/4 tokens into 8-token sequences —
+    the 10-token doc spans the seq0/seq1 boundary, offsets tile exactly."""
+    from my_crawler_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (1, "A", "a b c d e"),
+        (2, "A", "f g h i j k l m n o"),
+        (3, "A", "p q r s"),
+        (4, "B", ""),  # empty doc packs to nothing
+    ]
+    got = sorted(
+        (r.doc_id, r.seq_id, r.tok_start, r.tok_end)
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, source string, text string"),
+            seq_len=8,
+        ).collect()
+    )
+    # stream: d1 [0,5) d2 [5,15) d3 [15,19); seqs of 8 tokens
+    assert got == [
+        (1, 0, 0, 5),
+        (2, 0, 5, 8),
+        (2, 1, 0, 7),
+        (3, 1, 7, 8),
+        (3, 2, 0, 3),
+    ]
