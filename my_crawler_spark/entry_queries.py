@@ -165,6 +165,56 @@ SQL_URL_FILTERS = f"""
 """
 
 
+_URL_BLOCKLIST = ["h1.example.com", "h4.example.com"]
+
+
+def q_url_quality(spark, sf_dir) -> DataFrame:
+    """RefinedWeb-style URL quality gate over the canonical URL corpus:
+    domain-blocklist broadcast join + soft word-weight score + binary-file
+    extension gate. The oracle mirrors the same canonicalization CTEs, a
+    VALUES blocklist and the identical fold-order weight sum."""
+    from .functions.url import canonicalize_url
+    from .operators.urlquality import url_quality
+
+    urls = (
+        _raw_urls(spark, sf_dir)
+        .withColumn("url", canonicalize_url(F.col("raw_url")))
+        .filter(F.col("url").isNotNull())
+        .select("key", "url")
+    )
+    bl = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST], "domain string")
+    return url_quality(urls, bl).select("key", "domain", "url_score", "blocked", "keep")
+
+
+SQL_URL_QUALITY = f"""
+    WITH raw AS ({_RAW_URLS_SQL}), canon AS ({_CANON_SQL}),
+    urls AS (
+      SELECT key, canon_url AS url,
+             lower(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS domain
+      FROM canon WHERE canon_url IS NOT NULL),
+    bl(domain) AS (VALUES ('h1.example.com'), ('h4.example.com')),
+    scored AS (
+      SELECT key, url, urls.domain AS domain,
+             bl.domain IS NOT NULL AS blocked,
+             round(
+               (CASE WHEN contains(lower(url), 'login') THEN CAST(0.6 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN contains(lower(url), 'signup') THEN CAST(0.6 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN contains(lower(url), 'files') THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN contains(lower(url), 'utm') THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN contains(lower(url), 'blog') THEN CAST(0.1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END),
+             2) AS url_score,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)?$', 1) AS path
+      FROM urls LEFT JOIN bl ON urls.domain = bl.domain)
+    SELECT key, domain, url_score, blocked,
+           (NOT blocked) AND url_score < CAST(0.5 AS DOUBLE)
+           AND NOT (regexp_extract(path, '/([^/]*)$', 1) LIKE '%.%'
+                AND lower(regexp_extract(regexp_extract(path, '/([^/]*)$', 1), '\\.([^.]*)$', 1))
+                    IN ('jpg','jpeg','png','gif','webp','avif','svg','ico','pdf','zip','tar','gz','7z','mp3','wav','ogg','mp4','webm','mov','avi','doc','docx','xls','xlsx','ppt','pptx'))
+           AS keep
+    FROM scored
+"""
+
+
 # --------------------------------------------------------------------------
 # BFS reachability over a lineitem-derived link graph (Q3's expansion)
 # --------------------------------------------------------------------------
@@ -699,6 +749,94 @@ SQL_PACK_SEQUENCES = """
            CAST(greatest(start_tok, seq_id * 128) - seq_id * 128 AS BIGINT) AS tok_start,
            CAST(least(end_tok, (seq_id + 1) * 128) - seq_id * 128 AS BIGINT) AS tok_end
     FROM x
+"""
+
+
+def q_perplexity_bucket(spark, sf_dir) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): train an
+    add-one unigram LM on the corpus, score each doc's perplexity, split
+    into head/middle/tail at the 1/3 and 2/3 percentiles of a deterministic
+    sha256 held-out half. The DuckDB oracle retrains the identical model and
+    hash-matches mean_logp/ppl/bucket (per-token logp rounded 9dp before the
+    sum, doc mean rounded 6dp — see operators/lm.py float discipline)."""
+    from .operators.lm import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"), sample_rate=0.5)
+
+
+SQL_PERPLEXITY_BUCKET = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{{L}}]+'), x -> x <> '') AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+                     CAST(count(*) AS DOUBLE) AS v FROM vocab),
+    lp AS (SELECT token, round(ln(cnt + 1.0) - ln(n_total + v), 9) AS logp
+           FROM vocab, stats),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(sum(logp) / count(*), 6) AS mean_logp
+      FROM tok JOIN lp USING (token) GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+             a.mean_logp,
+             round(exp(-a.mean_logp), 4) AS ppl
+      FROM documents d LEFT JOIN agg a USING (doc_id)),
+    thresh AS (
+      SELECT round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+             round(quantile_cont(ppl, 2.0/3), 6) AS t2
+      FROM scored
+      WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) <
+            '{format(int(0.5 * (1 << 48)), "012x")}'
+        AND ppl IS NOT NULL)
+    SELECT doc_id, n_tokens, mean_logp, ppl,
+           CASE WHEN ppl IS NULL THEN NULL
+                WHEN ppl <= t1 THEN 'head'
+                WHEN ppl <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, thresh
+"""
+
+
+def q_duplicate_spans(spark, sf_dir) -> DataFrame:
+    """Lee et al. 2021 exact-substring span dedup: maximal spans of 8-token
+    windows occurring >= 2 times corpus-wide, per doc, in token indices.
+    Pure integer/hash arithmetic — the DuckDB oracle mirrors the rolling
+    windows, md5 counts and gaps-and-islands merge exactly."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), window=8, min_count=2)
+
+
+SQL_DUPLICATE_SPANS = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
+      FROM t WHERE len(toks) >= 8),
+    h AS (SELECT doc_id, pos, md5(array_to_string(toks[pos + 1 : pos + 8], ' ')) AS h FROM g),
+    dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM h JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM marked),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 - 1 AS BIGINT) AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, island
 """
 
 
@@ -1548,6 +1686,187 @@ SQL_CAPTION_ALIGNMENT_SOUND = """
 """
 
 
+def _laion_image_table(spark, sf_dir) -> DataFrame:
+    """(image_id, bytes, caption) with EVERY laion_gate drop class planted:
+    k%11==0 -> corrupt bytes (decode); variable dims w=8+(k%5)*8,
+    h=8+(k%7)*8 (some below min_dim -> size; some beyond 2:1 -> aspect);
+    k%37==0 -> empty caption (caption); non-planted captions are unrelated
+    to the pixels (alignment); k%5==0 -> planted TRUE pair at gate-passing
+    16x16 lossless png (keep). The sound oracle asserts all six outcomes
+    actually occur (anti-vacuous)."""
+    import pandas as pd
+
+    from . import codecs as C
+    from .fixtures import aligned_pixels_for_caption, make_caption, make_pixels
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .limit(1000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                caption = make_caption(13, k)
+                if k % 11 == 0:
+                    data = b"not-an-image-" + str(k).encode()
+                elif k % 5 == 0 and caption.strip():
+                    data = C.encode_image(
+                        aligned_pixels_for_caption(caption, 16, 16), "png"
+                    )
+                else:
+                    w, h = 8 + (k % 5) * 8, 8 + (k % 7) * 8
+                    data = C.encode_image(
+                        make_pixels(13, k, w, h), ["png", "jpeg", "webp"][k % 3]
+                    )
+                rows.append((f"lg-{k}", data, caption))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "caption"])
+
+    return part.mapInPandas(gen, "image_id string, bytes binary, caption string")
+
+
+def q_laion_gate(spark, sf_dir) -> DataFrame:
+    """LAION/DataComp-style image-text curation gate: decode -> resolution
+    -> aspect ratio -> caption length -> alignment, first-failure reason
+    per pair. Binary payloads, so correctness is pinned by the
+    `laion_gate_sound` empty-violations oracle instead of SQL."""
+    from .operators.multimodal import laion_gate
+
+    return laion_gate(_laion_image_table(spark, sf_dir), align_threshold=_ALIGN_THRESHOLD)
+
+
+def q_laion_gate_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for `laion_gate`. An independent numpy/zlib
+    recompute (its own decode call, histogram cosine, plain-Python gate
+    cascade) re-derives (w, h, n_tokens, score, drop_reason, keep) per row;
+    violations:
+      (1) row_mismatch : keep/drop_reason differ, or dims/token counts
+          differ, or |align_score - recomputed| > 1e-5
+      (2) vacuous_gate : any of the five drop classes OR the keep class
+          absent from the reported output — a gate that never fires (or
+          never passes) proves nothing."""
+    import pandas as pd
+
+    from . import codecs as C
+    from .operators.multimodal import laion_gate
+
+    images = _laion_image_table(spark, sf_dir)
+    reported = laion_gate(images, align_threshold=_ALIGN_THRESHOLD)
+
+    def regate(batches):
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for iid, data, caption in zip(
+                pdf["image_id"], pdf["bytes"], pdf["caption"]
+            ):
+                toks = [t for t in (caption or "").lower().split() if t]
+                try:
+                    px = C.decode_image(bytes(data))
+                except Exception:
+                    # caption is known even when pixels are not decodable —
+                    # the reported row carries its token count
+                    rows.append((iid, None, None, len(toks), None, "decode", False))
+                    continue
+                h_, w_ = px.shape[0], px.shape[1]
+                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                ih, _ = np.histogram(luma, bins=16, range=(0, 256))
+                iv = ih.astype(np.float32)
+                iv /= iv.sum() or 1.0
+                th = np.zeros(16, dtype=np.float64)
+                for t in toks:
+                    th[zlib.crc32(t.encode("utf-8")) % 16] += 1
+                tv = (th / max(len(toks), 1)).astype(np.float32)
+                if not toks:
+                    s = 0.0
+                else:
+                    denom = float(np.linalg.norm(iv) * np.linalg.norm(tv))
+                    s = (
+                        float(iv.astype(np.float64) @ tv.astype(np.float64)) / denom
+                        if denom
+                        else 0.0
+                    )
+                if min(w_, h_) < 16:
+                    reason = "size"
+                elif max(w_, h_) > 2.0 * min(w_, h_):
+                    reason = "aspect"
+                elif len(toks) < 3:
+                    reason = "caption"
+                elif s < _ALIGN_THRESHOLD:
+                    reason = "alignment"
+                else:
+                    reason = None
+                rows.append((iid, w_, h_, len(toks), s, reason, reason is None))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "tw", "th_", "tn", "tscore", "treason", "tkeep"],
+            )
+
+    truth = images.mapInPandas(
+        regate,
+        "image_id string, tw int, th_ int, tn long, tscore double, "
+        "treason string, tkeep boolean",
+    )
+    j = reported.join(truth, "image_id", "full_outer")
+    mismatches = j.where(
+        ~F.col("keep").eqNullSafe(F.col("tkeep"))
+        | ~F.col("drop_reason").eqNullSafe(F.col("treason"))
+        | ~F.col("w").eqNullSafe(F.col("tw"))
+        | ~F.col("h").eqNullSafe(F.col("th_"))
+        | ~F.col("caption_n_tokens").eqNullSafe(F.col("tn"))
+        | (
+            F.col("align_score").isNotNull()
+            & F.col("tscore").isNotNull()
+            & (F.abs(F.col("align_score") - F.col("tscore")) > 1e-5)
+        )
+    ).select(
+        F.lit("row_mismatch").alias("violation"),
+        F.col("image_id"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("drop_reason"), F.lit("keep")),
+            F.coalesce(F.col("treason"), F.lit("keep")),
+        ).alias("detail"),
+    )
+    counts = reported.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("drop_reason") == r, 1).otherwise(0)).alias(r)
+            for r in ("decode", "size", "aspect", "caption", "alignment")
+        ],
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+    )
+    vacuity = counts.where(
+        (F.col("n") == 0)
+        | (F.col("decode") == 0)
+        | (F.col("size") == 0)
+        | (F.col("aspect") == 0)
+        | (F.col("caption") == 0)
+        | (F.col("alignment") == 0)
+        | (F.col("kept") == 0)
+    ).select(
+        F.lit("vacuous_gate").alias("violation"),
+        F.lit(None).cast("string").alias("image_id"),
+        F.lit(None).cast("string").alias("detail"),
+    )
+    return mismatches.union(vacuity)
+
+
+SQL_LAION_GATE_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS image_id,
+           CAST(NULL AS VARCHAR) AS detail
+    WHERE 1 = 0
+"""
+
+
 def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     """Video frame-sampling plumbing over fake media containers."""
     import pandas as pd
@@ -2313,6 +2632,11 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "mixture_rebalance": q_mixture_rebalance,
     "pack_sequences": q_pack_sequences,
+    "perplexity_bucket": q_perplexity_bucket,
+    "duplicate_spans": q_duplicate_spans,
+    "url_quality": q_url_quality,
+    "laion_gate": q_laion_gate,
+    "laion_gate_sound": q_laion_gate_sound,
     "bm25_topk": q_bm25_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "rrf_fusion": q_rrf_fusion,
@@ -2373,6 +2697,10 @@ ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "url_quality": SQL_URL_QUALITY,
+    "laion_gate_sound": SQL_LAION_GATE_SOUND,
     "bm25_topk": SQL_BM25_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "rrf_fusion": SQL_RRF_FUSION,

@@ -479,3 +479,57 @@ def ngram_contamination(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING span dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove any
+    substring of >= 50 BPE tokens that appears more than once in the
+    corpus; the reference implementation builds a suffix array).
+
+    A suffix array does not distribute; the standard cluster-scale
+    re-expression is rolling token windows — every `window`-token gram that
+    occurs >= `min_count` times corpus-wide (within OR across docs, exactly
+    the paper's criterion) marks its positions, and overlapping-or-adjacent
+    marked windows merge into maximal spans. Equivalent to the suffix-array
+    result for duplicated runs >= window tokens, at window-token resolution.
+
+    Plan: tokenize -> posexplode windows -> md5 the gram (cuts shuffle
+    width) -> count per gram (one shuffle) -> join positions back (one
+    shuffle) -> per-doc gaps-and-islands (two PARTITIONED window passes) ->
+    span agg. All integer/hash arithmetic — the DuckDB oracle is exact.
+    Emits (doc_id, span_start, span_end, n_windows) in TOKEN indices,
+    span_end inclusive.
+    """
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(F.col("toks"), window)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= min_count
+    )
+    marked = grams.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = marked.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > window, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    islands = flagged.withColumn("island", F.sum("brk").over(w))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

@@ -1,0 +1,132 @@
+"""CCNet-style language-model quality bucketing (Wenzek et al. 2020).
+
+CCNet scores each document with a language-model perplexity and splits the
+corpus into head / middle / tail quality buckets at perplexity thresholds
+learned from a held-out sample. The production system uses a KenLM 5-gram
+model; this engine trains a deterministic add-one-smoothed UNIGRAM model on
+the corpus itself — the same dataflow shape (train LM -> score docs ->
+bucket at sampled thresholds) with a model both Spark and the DuckDB oracle
+can reproduce bit-for-bit.
+
+Plan shape (fully declarative — zero driver collects, one action at the end):
+
+1. tokenize + explode            -> (doc_id, token)          one scan
+2. vocab = groupBy(token).count  -> (token, cnt)             one shuffle
+3. corpus stats as a 1-ROW AGG   -> (n_total, v)             crossJoin (broadcast)
+4. logp(token) = ln(cnt+1) - ln(n_total+v), rounded 9dp      column expr
+5. doc score: join tokens->vocab (shuffle hash join; the vocab of a 100 TB
+   corpus does not broadcast), groupBy(doc): mean logp       one shuffle
+6. thresholds: percentile(ppl, {1/3, 2/3}) over the hash-sampled held-out
+   docs, ANOTHER 1-row relation crossJoined back             broadcast
+7. bucket = head / middle / tail by ppl vs thresholds        column expr
+
+Cross-engine float discipline (the DuckDB oracle hash-matches values):
+per-token logp is rounded to 9dp BEFORE summing so a <=1-ulp libm ln()
+difference cannot survive; the per-doc mean is rounded to 6dp so shuffle-
+order float-sum noise (~1e-15 relative) cannot reach the emitted digits;
+ppl = exp(-mean) is computed FROM the rounded mean, so both engines
+exponentiate identical doubles.
+
+At 100 TB: steps 1-5 are two shuffles over token traffic (the same cost
+class as the MinHash shingle pipeline); the exact `percentile` in step 6
+runs over the bounded held-out sample only (CCNet's own design — thresholds
+come from a small held-out set, rate chosen so it fits one aggregator; at
+extreme scale swap in percentile_approx and re-learn the thresholds once,
+they are model constants thereafter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+from .sampling import _hex_threshold, hash_fraction
+
+BUCKETS = ("head", "middle", "tail")
+
+
+def unigram_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, cnt) unigram counts over the corpus — the trained LM."""
+    toked = docs.select(tokens(F.col(text_col)).alias("_toks"))
+    return (
+        toked.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def doc_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_logp, ppl) under the corpus-trained add-one
+    unigram LM. Docs with zero tokens score NULL (no evidence either way)."""
+    vocab = unigram_vocab(docs, text_col)
+    # 1-row corpus stats, crossJoined (Spark broadcasts single-row sides)
+    stats = vocab.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    logp = vocab.crossJoin(stats).select(
+        "token",
+        F.round(
+            F.log(F.col("cnt") + F.lit(1.0)) - F.log(F.col("n_total") + F.col("v")), 9
+        ).alias("logp"),
+    )
+    tok = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        F.col(id_col), F.explode("_toks").alias("token")
+    )
+    scored = (
+        tok.join(logp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("mean_logp"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            "mean_logp",
+            F.round(F.exp(-F.col("mean_logp")), 4).alias("ppl"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_logp, ppl, bucket) — CCNet head/middle/tail.
+
+    Thresholds are the exact 1/3 and 2/3 perplexity percentiles of a
+    deterministic sha256 held-out sample (`sample_rate` of docs), carried as
+    a 1-row relation crossJoined back — no collect, no global window. Low
+    perplexity = 'head' (best), then 'middle', then 'tail'; unscorable
+    (zero-token) docs get NULL.
+    """
+    scored = doc_perplexity(docs, id_col, text_col)
+    held_out = scored.where(
+        (hash_fraction(F.col(id_col)) < F.lit(_hex_threshold(sample_rate)))
+        & F.col("ppl").isNotNull()
+    )
+    thresholds = held_out.agg(
+        F.round(F.expr("percentile(ppl, 1.0/3)"), 6).alias("t1"),
+        F.round(F.expr("percentile(ppl, 2.0/3)"), 6).alias("t2"),
+    )
+    return scored.crossJoin(thresholds).select(
+        id_col,
+        "n_tokens",
+        "mean_logp",
+        "ppl",
+        F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
+        .when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -294,3 +294,62 @@ def sample_video_frames(media: DataFrame, target_fps: float = 1.0) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select("media_id", "bytes").mapInPandas(run, FRAME_SCHEMA)
+
+
+def laion_gate(
+    images: DataFrame,
+    min_dim: int = 16,
+    max_aspect: float = 2.0,
+    min_caption_tokens: int = 3,
+    bins: int = 16,
+    align_threshold: float = 0.95,
+) -> DataFrame:
+    """LAION/DataComp-style image-text pair curation gate — the filter
+    stack those pipelines run over billions of scraped pairs before
+    training: decodability, minimum resolution, aspect-ratio bounds,
+    minimum caption length, and the CLIP-score alignment gate (stand-in
+    encoders; see caption_alignment).
+
+    Returns one row per input image: (image_id, w, h, caption_n_tokens,
+    align_score, drop_reason, keep). drop_reason is the FIRST failed gate
+    in the fixed order decode -> size -> aspect -> caption -> alignment
+    (the cheap-to-expensive order a 100 TB pipeline uses so later gates
+    only run on survivors); NULL means kept. Undecodable rows carry NULL
+    w/h/align_score.
+
+    Plan: one Arrow decode pass for stats, one for the alignment tower
+    (only over decodable rows — image_features raises on garbage bytes),
+    JVM caption featurization, two hash joins on image_id. At scale,
+    decode once and thread the pixel batch through both towers; here the
+    two passes keep each operator independently testable.
+    """
+    stats = decode_stats(images)
+    ok_ids = stats.filter(F.col("decode_ok")).select("image_id")
+    align = caption_alignment(
+        images.join(ok_ids, "image_id"), bins=bins, threshold=align_threshold
+    )
+    caps = caption_features(images.select("image_id", "caption"), bins=bins).select(
+        "image_id", "caption_n_tokens"
+    )
+    j = stats.join(caps, "image_id").join(align, "image_id", "left")
+    reason = (
+        F.when(~F.col("decode_ok"), F.lit("decode"))
+        .when(F.least("w", "h") < F.lit(min_dim), F.lit("size"))
+        .when(
+            F.greatest("w", "h").cast("double")
+            > F.lit(float(max_aspect)) * F.least("w", "h"),
+            F.lit("aspect"),
+        )
+        .when(F.col("caption_n_tokens") < F.lit(min_caption_tokens), F.lit("caption"))
+        .when(~F.col("aligned"), F.lit("alignment"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "image_id",
+        "w",
+        "h",
+        F.col("caption_n_tokens").cast("long").alias("caption_n_tokens"),
+        "align_score",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )

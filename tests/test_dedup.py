@@ -137,3 +137,32 @@ def test_ngram_contamination(spark):
     }
     assert set(got) == {(1, 10), (2, 12)}
     assert got[(1, 10)] == 11 - 5 + 1  # every 5-gram of the 11-token slice
+
+
+def test_duplicate_spans_exact_substring(spark):
+    """Lee-et-al-style span dedup: a 12-token run shared by two docs yields
+    one maximal merged span in each (token indices, end inclusive); a doc
+    with an internal repeat fires on itself; unique docs emit nothing."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 words here"),
+            (2, "prefix2 " + shared + " other2 ending2"),
+            # internal repeat: the same 8-gram occurs twice within one doc
+            (3, "one two three four five six seven eight " * 2 + "nine"),
+            (4, "totally different vocabulary nothing shared at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    from my_crawler_spark.operators.dedup import duplicate_spans
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(docs, window=8).collect()
+    }
+    # doc 1: windows 0..4 dup (12-token run -> 5 windows), span [0, 11]
+    assert (1, 0, 11, 5) in got
+    # doc 2: same run shifted by 1 (prefix2), span [1, 12]
+    assert (2, 1, 12, 5) in got
+    assert any(d == 3 for d, *_ in got)
+    assert not any(d == 4 for d, *_ in got)

@@ -190,3 +190,29 @@ def test_caption_features_pure_jvm(spark):
     assert got["x"].caption_n_tokens == 4
     assert all(abs(a - b) < 1e-6 for a, b in zip(got["x"].caption_features, hist))
     assert got["y"].caption_n_tokens == 0 and sum(got["y"].caption_features) == 0.0
+
+
+def test_laion_gate_first_failure_cascade(spark):
+    """Each drop class lands on its first-failed gate; a planted aligned
+    pair with passing dims/caption keeps."""
+    from my_crawler_spark.fixtures import aligned_pixels_for_caption
+
+    cap = "alpha bravo charlie delta echo"
+    rows = [
+        ("corrupt", b"junk-bytes", cap),
+        ("tiny", codecs.encode_image(make_pixels(7, 1, 8, 8), "png"), cap),
+        ("stretched", codecs.encode_image(make_pixels(7, 2, 16, 48), "png"), cap),
+        ("shortcap", codecs.encode_image(make_pixels(7, 3, 16, 16), "png"), "hi there"),
+        ("misaligned", codecs.encode_image(make_pixels(7, 4, 16, 16), "png"), cap),
+        ("good", codecs.encode_image(aligned_pixels_for_caption(cap, 16, 16), "png"), cap),
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    got = {r.image_id: r for r in MM.laion_gate(images).collect()}
+    assert got["corrupt"].drop_reason == "decode" and got["corrupt"].w is None
+    assert got["tiny"].drop_reason == "size"
+    assert got["stretched"].drop_reason == "aspect"
+    assert got["shortcap"].drop_reason == "caption"
+    assert got["misaligned"].drop_reason == "alignment"
+    assert got["good"].keep and got["good"].drop_reason is None
+    assert got["good"].align_score > 0.95
+    assert sum(1 for r in got.values() if r.keep) == 1
