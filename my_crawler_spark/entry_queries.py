@@ -165,6 +165,65 @@ SQL_URL_FILTERS = f"""
 """
 
 
+def q_scrub_spans(spark, sf_dir) -> DataFrame:
+    """The APPLY step of Lee-et-al substring dedup: keep each duplicated
+    window's first corpus occurrence (by (doc_id, pos)), scrub the merged
+    spans of every other occurrence, reconstruct the cleaned text. The
+    DuckDB oracle replays keeper selection, island merge, position
+    anti-join and ordered reassembly exactly (all integer/string ops) —
+    clean_text is hash-matched byte-for-byte."""
+    from .operators.dedup import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(_t(spark, sf_dir, "documents"), window=8, min_count=2)
+
+
+SQL_SCRUB_SPANS = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
+      FROM t WHERE len(toks) >= 8),
+    h AS (SELECT doc_id, pos, md5(array_to_string(toks[pos + 1 : pos + 8], ' ')) AS h FROM g),
+    dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+    occ AS (SELECT doc_id, pos, h FROM h JOIN dup USING (h)),
+    losers AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM occ)
+      WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM losers),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 - 1 AS e
+      FROM grp GROUP BY doc_id, island),
+    rm AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+    tokpos AS (
+      SELECT doc_id, i AS pos, toks[i + 1] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)),
+    kept AS (SELECT doc_id, pos, tok FROM tokpos ANTI JOIN rm USING (doc_id, pos)),
+    clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+    FROM t LEFT JOIN clean USING (doc_id)
+"""
+
+
 _URL_BLOCKLIST = ["h1.example.com", "h4.example.com"]
 
 
@@ -2635,6 +2694,7 @@ QUERIES = {
     "perplexity_bucket": q_perplexity_bucket,
     "duplicate_spans": q_duplicate_spans,
     "url_quality": q_url_quality,
+    "scrub_spans": q_scrub_spans,
     "laion_gate": q_laion_gate,
     "laion_gate_sound": q_laion_gate_sound,
     "bm25_topk": q_bm25_topk,
@@ -2700,6 +2760,7 @@ ORACLES = {
     "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
+    "scrub_spans": SQL_SCRUB_SPANS,
     "laion_gate_sound": SQL_LAION_GATE_SOUND,
     "bm25_topk": SQL_BM25_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -533,3 +533,83 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "n_windows")
     )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The APPLY step of Lee-et-al substring dedup: keep the FIRST corpus
+    occurrence of every duplicated window (ordered by (doc_id, pos)) and
+    scrub the merged spans of all OTHER occurrences out of their documents,
+    reconstructing the cleaned text (surviving tokens joined by single
+    spaces — this engine's canonical token-stream form).
+
+    -> (doc_id, n_tokens, n_removed, clean_text); n_removed = tokens cut.
+
+    Plan: the detection pipeline of duplicate_spans, plus one row_number
+    window PARTITIONED BY gram hash to pick keepers (skew note: a gram
+    duplicated k times puts k rows in one partition — k is bounded by the
+    corpus's duplication multiplicity; at pathological skew pre-aggregate
+    per (h, doc) first), a sequence-explode of loser spans to removal
+    positions, one anti-join on (doc, pos), and an order-preserving
+    reassembly via array_sort(collect_list(struct(pos, tok))). Linear in
+    token count; every join/agg keyed on (doc, pos) or hash.
+    """
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(F.col("toks"), window)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= min_count
+    )
+    occ = grams.join(dup.select("h"), "h")
+    wk = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+    losers = (
+        occ.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+    # merge loser windows into spans (gaps-and-islands, per doc)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = losers.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > window, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    spans = (
+        flagged.withColumn("island", F.sum("brk").over(w))
+        .groupBy(id_col, "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + window - 1).alias("e"))
+    )
+    rmpos = spans.select(
+        F.col(id_col), F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos")
+    ).distinct()
+    tokpos = toked.select(
+        F.col(id_col), F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tokpos.join(rmpos, [id_col, "pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = toked.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+    return base.join(clean, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

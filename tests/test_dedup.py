@@ -166,3 +166,28 @@ def test_duplicate_spans_exact_substring(spark):
     assert (2, 1, 12, 5) in got
     assert any(d == 3 for d, *_ in got)
     assert not any(d == 4 for d, *_ in got)
+
+
+def test_scrub_duplicate_spans_keeps_first_occurrence(spark):
+    """The keeper (first corpus occurrence by (doc_id, pos)) survives
+    verbatim; later occurrences lose the whole merged span; untouched
+    docs round-trip through tokenization."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 words here"),
+            (2, "prefix2 " + shared + " other2 ending2"),
+            (3, "totally different vocabulary nothing shared at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    from my_crawler_spark.operators.dedup import scrub_duplicate_spans
+
+    got = {r.doc_id: r for r in scrub_duplicate_spans(docs, window=8).collect()}
+    # doc 1 holds the first occurrence -> nothing removed
+    assert got[1].n_removed == 0
+    assert got[1].clean_text == shared + " unique1 tail1 words here"
+    # doc 2 loses the 12-token span, keeps its frame
+    assert got[2].n_removed == 12
+    assert got[2].clean_text == "prefix2 other2 ending2"
+    assert got[3].n_removed == 0 and got[3].clean_text.startswith("totally")
