@@ -165,6 +165,62 @@ SQL_URL_FILTERS = f"""
 """
 
 
+def q_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: sha256-
+    sampled centroids (the k-means slot), max-cosine assignment,
+    within-list pairs >= 0.4 (this fixture's planted near-dup band; 500 random 384-d vectors concentrate near 0), connected components, keeper = member
+    farthest from its centroid. FULL DuckDB oracle — the whole chain
+    (centroid sample, assignment argmax, pair threshold, recursive-CTE
+    components, keeper window) is replayed relationally; cosines rounded
+    6dp (assignment/keeper order) and 4dp (pair threshold) on both sides."""
+    from .operators.dedup import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_lists=8, threshold=0.4)
+
+
+SQL_SEMDEDUP = """
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS list_id, embedding AS cvec FROM embeddings
+      ORDER BY substr(sha256(CAST(vec_id AS VARCHAR)), 1, 12), vec_id
+      LIMIT 8),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.list_id,
+             round(list_cosine_similarity(e.embedding, c.cvec), 6) AS ccos
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, embedding, list_id, ccos AS cos_centroid FROM (
+        SELECT vec_id, embedding, list_id, ccos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rn
+        FROM scored) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
+            >= CAST(0.4 AS DOUBLE)),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id),
+    mem AS (
+      SELECT lab.id AS vec_id, a.list_id, lab.cluster_id, sz.cluster_size,
+             a.cos_centroid
+      FROM lab JOIN sz USING (cluster_id) JOIN assigned a ON a.vec_id = lab.id)
+    SELECT vec_id, list_id, cluster_id, cluster_size, cos_centroid,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY cos_centroid, vec_id) = 1 AS keep
+    FROM mem
+"""
+
+
 def q_scrub_spans(spark, sf_dir) -> DataFrame:
     """The APPLY step of Lee-et-al substring dedup: keep each duplicated
     window's first corpus occurrence (by (doc_id, pos)), scrub the merged
@@ -2695,6 +2751,7 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "url_quality": q_url_quality,
     "scrub_spans": q_scrub_spans,
+    "semdedup": q_semdedup,
     "laion_gate": q_laion_gate,
     "laion_gate_sound": q_laion_gate_sound,
     "bm25_topk": q_bm25_topk,
@@ -2761,6 +2818,7 @@ ORACLES = {
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,
+    "semdedup": SQL_SEMDEDUP,
     "laion_gate_sound": SQL_LAION_GATE_SOUND,
     "bm25_topk": SQL_BM25_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

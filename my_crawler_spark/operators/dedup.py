@@ -613,3 +613,77 @@ def scrub_duplicate_spans(
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings, flagging within-cluster pairs above a cosine threshold as
+    semantic duplicates, and keeping ONE representative per duplicate
+    group — the member FARTHEST from its cluster centroid (lowest cosine
+    to centroid; the paper's diversity-preserving choice), ties by id.
+
+    The k-means slot is filled by the engine's deterministic coarse
+    quantizer: centroids = the n_lists rows with the smallest sha256 hash
+    key (cross-engine reproducible, unlike xxhash64), assignment by max
+    cosine (rounded 6dp, ties to the lower centroid id). Centroid ids ARE
+    the list ids.
+
+    -> one row per member of a semantic-duplicate group:
+    (vec_id, list_id, cluster_id, cluster_size, cos_centroid, keep).
+    Vectors with no near-duplicate are implicit keepers and not emitted.
+
+    Plan: broadcast the n_lists centroids (tiny), one row_number window
+    per vector for assignment, a within-list self-join for pairs (the
+    cluster structure bounds the quadratic — SemDeDup's own design: at
+    10^10 rows use n_lists ~ 10^5 so lists stay ~10^5 rows), then the
+    pointer-doubling connected components of duplicate_clusters and one
+    per-cluster keeper window. Everything is relational; the DuckDB
+    oracle replays the full chain exactly.
+    """
+    from .sampling import hash_fraction
+    from .search import cosine
+
+    emb = embeddings.select(id_col, vec_col)
+    cents = (
+        emb.orderBy(hash_fraction(F.col(id_col)), F.col(id_col))
+        .limit(n_lists)
+        .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "list_id",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("ccos"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("list_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "list_id", F.col("ccos").alias("cos_centroid"))
+    )
+    a = assigned.select(
+        "list_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = assigned.select(
+        "list_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("v_a"), F.col("v_b")), 4) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    clusters = duplicate_clusters(pairs)
+    members = clusters.withColumnRenamed("id", id_col).join(
+        assigned.select(id_col, "list_id", "cos_centroid"), id_col
+    ).select(id_col, "list_id", "cluster_id", "cluster_size", "cos_centroid")
+    wk = Window.partitionBy("cluster_id").orderBy("cos_centroid", F.col(id_col))
+    return members.withColumn(
+        "keep", F.row_number().over(wk) == 1
+    )

@@ -191,3 +191,37 @@ def test_scrub_duplicate_spans_keeps_first_occurrence(spark):
     assert got[2].n_removed == 12
     assert got[2].clean_text == "prefix2 other2 ending2"
     assert got[3].n_removed == 0 and got[3].clean_text.startswith("totally")
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """Planted near-identical groups are clustered; exactly one keeper per
+    cluster; the keeper is the member with the LOWEST centroid cosine
+    (ties by id); singletons are not emitted."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.standard_normal((20, 16))
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # two planted groups: near-copies of vectors 0 and 1
+    for j, src in [(100, 0), (101, 0), (102, 1)]:
+        rows.append((j, [float(x) for x in base[src] + rng.normal(0, 1e-4, 16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from my_crawler_spark.operators.dedup import semdedup
+
+    out = semdedup(emb, n_lists=4, threshold=0.95).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    # the two planted groups surface: {0,100,101} and {1,102}
+    sizes = sorted(len(v) for v in clusters.values())
+    assert sizes == [2, 3]
+    for members in clusters.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        lo = min((m.cos_centroid, m.vec_id) for m in members)
+        assert (keepers[0].cos_centroid, keepers[0].vec_id) == lo
+        # all members share the keeper's list (SemDeDup is within-cluster)
+        assert len({m.list_id for m in members}) == 1
