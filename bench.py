@@ -205,6 +205,7 @@ def bench_queries(spark, sf_dir) -> dict[str, float]:
         "url_canonicalize", "bfs_frontier", "image_decode_phash",
         "image_near_dup", "dedup_diversify_paginate", "events_sessionize",
         "dedup_clusters", "corpus_curation", "caption_alignment",
+        "perplexity_bucket", "scrub_spans", "semdedup",
     ]:
         t0 = time.time()
         n = EQ.QUERIES[name](spark, sf_dir).count()
