@@ -867,6 +867,43 @@ SQL_PACK_SEQUENCES = """
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: min md5 k-gram hash per sliding
+    window of 4 consecutive 5-gram hashes, leftmost-min tie rule via the
+    hash||zero-padded-pos key. Exact string/integer pipeline — the DuckDB
+    oracle replays the frame window min and hash-matches."""
+    from .operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, window=4)
+
+
+SQL_WINNOW_FINGERPRINTS = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS pos, toks
+      FROM t WHERE len(toks) >= 5),
+    h AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos + 1 : pos + 5], ' '))
+             || printf('%010d', pos) AS hp
+      FROM g),
+    w AS (
+      SELECT doc_id,
+             min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+      FROM h)
+    SELECT DISTINCT doc_id,
+           CAST(substr(pick, 33, 10) AS BIGINT) AS pos,
+           substr(pick, 1, 32) AS fp
+    FROM w WHERE cnt = 4
+"""
+
+
 def q_perplexity_bucket(spark, sf_dir) -> DataFrame:
     """CCNet-style LM quality bucketing (Wenzek et al. 2020): train an
     add-one unigram LM on the corpus, score each doc's perplexity, split
@@ -2748,6 +2785,7 @@ QUERIES = {
     "mixture_rebalance": q_mixture_rebalance,
     "pack_sequences": q_pack_sequences,
     "perplexity_bucket": q_perplexity_bucket,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "duplicate_spans": q_duplicate_spans,
     "url_quality": q_url_quality,
     "scrub_spans": q_scrub_spans,
@@ -2815,6 +2853,7 @@ ORACLES = {
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,

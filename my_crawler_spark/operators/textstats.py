@@ -193,3 +193,59 @@ def pii_scrub(
         F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every word k-gram, slide a window of `window`
+    consecutive k-gram hashes over the document and record the minimum
+    hash of each window (with its position) — guaranteeing any shared run
+    of >= k + window - 1 tokens between two documents shares at least one
+    fingerprint, at ~2/(window+1) the storage of all k-grams.
+
+    Ties are broken by position: the comparison key is the md5 hex hash
+    concatenated with the zero-padded gram position, so the LEFTMOST
+    minimal hash wins deterministically in both engines (md5 strings
+    compare lexicographically identically in Spark and DuckDB).
+
+    -> (doc_id, pos, fp) distinct picks; docs shorter than k tokens emit
+    nothing (no gram to hash). One explode + two same-frame partitioned
+    windows + one distinct — linear, no unpartitioned stage.
+    """
+    from .dedup import ngrams_from_tokens, tokens
+
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(F.col("toks"), k)).alias("pos", "gram"),
+    ).select(
+        id_col,
+        "pos",
+        F.concat(F.md5("gram"), F.lpad(F.col("pos").cast("string"), 10, "0")).alias(
+            "hp"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    picks = grams.select(
+        F.col(id_col),
+        F.min("hp").over(frame).alias("pick"),
+        F.count(F.lit(1)).over(frame).alias("cnt"),
+    ).filter(F.col("cnt") == window)
+    return (
+        picks.select(
+            id_col,
+            F.substring("pick", 33, 10).cast("long").alias("pos"),
+            F.substring("pick", 1, 32).alias("fp"),
+        )
+        .distinct()
+    )

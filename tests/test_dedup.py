@@ -225,3 +225,25 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
         assert (keepers[0].cos_centroid, keepers[0].vec_id) == lo
         # all members share the keeper's list (SemDeDup is within-cluster)
         assert len({m.list_id for m in members}) == 1
+
+
+def test_scrub_spans_removes_all_duplication(spark):
+    """Semantic fixed point: after the apply step, re-running detection on
+    the cleaned corpus finds (almost) nothing — every duplicated window
+    lost all but its keeper occurrence. Boundary-effect re-duplication
+    (remnants concatenating into a new duplicated 8-gram) is possible in
+    principle; assert it does not happen on the real fixture corpus."""
+    from my_crawler_spark.operators.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    before = duplicate_spans(docs, window=8).count()
+    assert before > 0  # the fixture has duplication to remove
+    cleaned = scrub_duplicate_spans(docs, window=8).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert duplicate_spans(cleaned, window=8).count() == 0

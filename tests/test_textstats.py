@@ -96,3 +96,30 @@ def test_pii_scrub(spark):
     assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 2)
     assert got[2].scrubbed == "server at <IP> and <IP> responded"
     assert got[3].scrubbed == rows[2][1] and got[3].n_emails == 0
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a run of >= k+window-1
+    (= 8) tokens share at least one fingerprint; distinct docs share none;
+    sub-k docs emit nothing."""
+    from my_crawler_spark.operators.textstats import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three four five"),
+            (2, "prefix words here " + shared),
+            (3, "entirely different vocabulary nothing common at all whatsoever"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    assert 4 not in by_doc
+    # storage bound: picks per doc <= number of full windows
+    assert all(len(v) <= 20 for v in by_doc.values())
