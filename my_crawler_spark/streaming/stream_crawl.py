@@ -193,3 +193,67 @@ def metrics_window_stream(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "outcome", "n")
     )
+
+
+def curation_stream(
+    docs_stream: DataFrame,
+    curated_table,
+    seen_table,
+    min_quality: float = 0.4,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh"),
+):
+    """Streamed corpus curation — the incremental-ingest form of the batch
+    `corpus_curation` pipeline: each micro-batch of (doc_id, text) rows
+    runs the SAME quality/language gates, exact-dedups within the batch
+    (min doc_id per text hash) AND against every previously accepted doc
+    (anti-join on the seen-hash table), then appends survivors.
+
+    Exactly-once effect on the sink: the seen anti-join makes re-delivered
+    docs no-ops, so replaying a micro-batch after a failure converges to
+    the same curated table (same idempotence contract as
+    fetch_extract_stream). `seen_table` rows are (text_hash) only — the
+    state is O(accepted docs), the corpus itself never re-reads.
+
+    foreachBatch rather than stream-static joins: the seen dim must be
+    re-read per trigger (it grows with every batch), and dropDuplicates
+    on an unbounded stream would hold state forever; the snapshot-table
+    anti-join IS the watermark-free dedup state, shared with any batch
+    writer. Returns a DataStreamWriter.
+    """
+    from ..operators.dedup import normalized_text
+    from ..operators.textstats import lang_id_expr, quality_score_expr
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = (
+            batch_df.withColumn("quality", quality_score_expr(F.col("text")))
+            .withColumn("lang", lang_id_expr(F.col("text")))
+            .filter(
+                (F.col("quality") >= F.lit(float(min_quality)))
+                & F.col("lang").isin(*langs)
+            )
+            .withColumn("text_hash", F.md5(normalized_text(F.col("text"))))
+        )
+        from pyspark.sql import Window as W
+
+        first = (
+            gated.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("text_hash").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        fresh = first.join(seen_table.read(), "text_hash", "left_anti")
+        # cache: two commits consume `fresh`; without it the gates run twice
+        fresh = fresh.cache()
+        try:
+            curated_table.commit(
+                fresh.select("doc_id", "text", "lang", "quality"), mode="append"
+            )
+            seen_table.commit(fresh.select("text_hash"), mode="append")
+        finally:
+            fresh.unpersist()
+
+    return docs_stream.writeStream.foreachBatch(_process)

@@ -159,3 +159,71 @@ def test_fetch_extract_stream_matches_batch_and_is_idempotent(spark, fixtures, t
     q2.awaitTermination(180)
     got2 = sorted(tuple(r) for r in t_chunks.read().select(*key).collect())
     assert got2 == want
+
+
+def test_curation_stream_cross_batch_dedup_and_idempotence(spark, tmp_path):
+    """Two micro-batches with overlapping + within-batch duplicate docs:
+    each unique passing doc lands in the curated table exactly once (the
+    seen-hash anti-join dedups ACROSS batches); low-quality docs are
+    gated; replaying both batches through a fresh stream leaves the
+    curated table unchanged."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from my_crawler_spark.sources.lake import Catalog
+    from my_crawler_spark.streaming.stream_crawl import curation_stream
+
+    good1 = "the data engine scans the table and it is a good long document " * 4
+    good2 = "der schnelle braune fuchs und die katze ist auf den tisch heute " * 4
+    bad = "!!! ??? ### $$$ %%%"  # punctuation-heavy -> quality gate
+    b1 = [
+        {"doc_id": 1, "text": good1},
+        {"doc_id": 2, "text": good1},  # within-batch dup of 1
+        {"doc_id": 3, "text": bad},
+    ]
+    b2 = [
+        {"doc_id": 4, "text": good1},  # cross-batch dup of 1
+        {"doc_id": 5, "text": good2},
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    curated_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("quality", DoubleType()),
+        ]
+    )
+    seen_schema = StructType([StructField("text_hash", StringType())])
+    t_curated = cat.table("curated", curated_schema)
+    t_seen = cat.table("seen_hashes", seen_schema)
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).json(str(src))
+        q = (
+            curation_stream(stream, t_curated, t_seen)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    got = {(r.doc_id, r.lang) for r in t_curated.read().collect()}
+    assert got == {(1, "en"), (5, "de")}, got
+    # replay: fresh stream over the same files -> no new rows
+    run("ck2")
+    assert t_curated.read().count() == 2
+    assert t_seen.read().count() == 2
