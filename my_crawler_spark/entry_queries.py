@@ -867,6 +867,117 @@ SQL_PACK_SEQUENCES = """
 """
 
 
+_BPE_MERGES = 30
+
+
+def _py_bpe_train(word_counts: dict[str, int], n_merges: int):
+    """Independent driver-side BPE trainer (the bpe_sound twin): plain dict
+    loops, same deterministic total order (max freq, ties to the
+    lexicographically smallest pair), same greedy left-to-right
+    non-overlapping merge rule as the JVM fold."""
+    symtab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, cnt in word_counts.items():
+            syms = symtab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < 2:
+            break
+        merges.append((rank, left, right, freq))
+        for w in symtab:
+            syms, out, i = symtab[w], [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (left, right):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symtab[w] = out
+    return merges
+
+
+def q_bpe_merges(spark, sf_dir) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
+    corpus: the learned merge table (rank, left, right, freq). The merge
+    loop is fully JVM-relational (pair explode + groupBy per iteration
+    over the weighted word dict, parquet-checkpointed); correctness is
+    pinned by `bpe_sound` (an independent plain-Python retrain must learn
+    the IDENTICAL merge list, plus the lossless-tokenization invariant)."""
+    from .operators.bpe import bpe_train, merges_df
+
+    m = bpe_train(_t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+    return merges_df(spark, m)
+
+
+def q_bpe_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for `bpe_merges` + `bpe_tokenize`:
+      (1) retrain_mismatch : an independent driver-side trainer over the
+          collected word dict (bounded: the corpus VOCAB, not the corpus)
+          must produce the identical merge list
+      (2) lossless         : concat(bpe_tokens) must equal the concatenated
+          word characters for EVERY document (tokenization loses nothing)
+      (3) vacuous          : no merges learned, or no multi-char token ever
+          emitted — the trainer proved nothing."""
+    from .operators.bpe import bpe_tokenize, bpe_train, word_dict
+    from .operators.dedup import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    spark_merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    wc = {r.word: int(r.cnt) for r in word_dict(docs).collect()}
+    py_merges = _py_bpe_train(wc, _BPE_MERGES)
+    mismatches = [
+        (f"retrain_mismatch@{i}", f"spark={s} py={p}")
+        for i, (s, p) in enumerate(zip(spark_merges, py_merges))
+        if tuple(s) != tuple(p)
+    ]
+    if len(spark_merges) != len(py_merges):
+        mismatches.append(
+            ("retrain_length", f"spark={len(spark_merges)} py={len(py_merges)}")
+        )
+    toked = bpe_tokenize(docs, spark_merges)
+    joined = docs.select(
+        "doc_id", F.concat_ws("", _tokens(F.col("text"))).alias("chars")
+    ).join(
+        toked.select("doc_id", F.concat_ws("", "bpe_tokens").alias("bchars"), "bpe_tokens"),
+        "doc_id",
+    )
+    lossy = joined.filter(F.col("chars") != F.col("bchars")).select(
+        F.lit("lossless").alias("violation"),
+        F.col("doc_id").cast("string").alias("detail"),
+    )
+    multi = joined.agg(
+        F.sum(
+            F.size(F.filter(F.col("bpe_tokens"), lambda t: F.length(t) > 1))
+        ).alias("n_multi")
+    )
+    vacuity = multi.where(
+        (F.col("n_multi") == 0) | F.lit(len(spark_merges) == 0)
+    ).select(
+        F.lit("vacuous").alias("violation"),
+        F.lit(None).cast("string").alias("detail"),
+    )
+    driver_rows = spark.createDataFrame(
+        mismatches or [], "violation string, detail string"
+    ) if mismatches else spark.createDataFrame([], "violation string, detail string")
+    return driver_rows.union(lossy).union(vacuity)
+
+
+SQL_BPE_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS detail
+    WHERE 1 = 0
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     """Winnowing (MOSS) fingerprints: min md5 k-gram hash per sliding
     window of 4 consecutive 5-gram hashes, leftmost-min tie rule via the
@@ -2786,6 +2897,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "perplexity_bucket": q_perplexity_bucket,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "bpe_merges": q_bpe_merges,
+    "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
     "url_quality": q_url_quality,
     "scrub_spans": q_scrub_spans,
@@ -2854,6 +2967,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "bpe_sound": SQL_BPE_SOUND,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,
