@@ -58,3 +58,29 @@ def test_word_dict_counts(spark):
     )
     wc = {r.word: r.cnt for r in word_dict(docs).collect()}
     assert wc == {"the": 3, "cat": 1, "dog": 1, "bird": 1}
+
+
+def test_bpe_apply_lossless_property():
+    """Property: applying ANY merge table to ANY word is lossless —
+    concatenating the output tokens reproduces the word exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abcde", min_size=1, max_size=24)
+    pairs = st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+        ),
+        max_size=8,
+        unique=True,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(words, pairs)
+    def check(word, merge_pairs):
+        ranks = {p: i for i, p in enumerate(merge_pairs)}
+        out = bpe_apply_word(word, ranks)
+        assert "".join(out) == word
+
+    check()
