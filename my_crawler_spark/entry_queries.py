@@ -1425,6 +1425,26 @@ SQL_DECONTAMINATE = """
 """
 
 
+def q_decontaminated_corpus(spark, sf_dir) -> DataFrame:
+    """The APPLY step of benchmark decontamination: the training corpus
+    with every flagged document removed (GPT-3 dropped contaminated
+    TRAINING docs; the detection report is `decontaminate`). One distinct
+    + one anti-join on doc_id over the detection pipeline."""
+    flagged = q_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    docs = _t(spark, sf_dir, "documents")
+    return docs.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_DECONTAMINATED_CORPUS = f"""
+    WITH flagged AS ({SQL_DECONTAMINATE})
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    ANTI JOIN (SELECT DISTINCT doc_id FROM flagged) f USING (doc_id)
+"""
+
+
 def q_pagerank(spark, sf_dir) -> DataFrame:
     """Link-based popularity over the synthesized crawl graph: 10 power
     iterations, damping 0.85, dangling mass redistributed uniformly
@@ -2898,6 +2918,7 @@ QUERIES = {
     "perplexity_bucket": q_perplexity_bucket,
     "winnow_fingerprints": q_winnow_fingerprints,
     "bpe_merges": q_bpe_merges,
+    "decontaminated_corpus": q_decontaminated_corpus,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
     "url_quality": q_url_quality,
@@ -2968,6 +2989,7 @@ ORACLES = {
     "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "bpe_sound": SQL_BPE_SOUND,
+    "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,
