@@ -2210,6 +2210,78 @@ SQL_FRAMES_SOUND = """
 """
 
 
+def _mixed_media_table(spark, sf_dir) -> DataFrame:
+    """(media_id, bytes) fake containers: a-K audio (2 + K%4 s at 100 Hz)
+    interleaved with v-K videos that the audio path must SKIP."""
+    import pandas as pd
+
+    from .operators.multimodal import fake_media_payload
+
+    part = _t(spark, sf_dir, "part").select("p_partkey").limit(200)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                if k % 3 == 0:
+                    rows.append((f"v-{k}", fake_media_payload("video", 2.0, 10, k)))
+                else:
+                    rows.append(
+                        (f"a-{k}", fake_media_payload("audio", 2.0 + k % 4, 100, k))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return part.mapInPandas(gen, "media_id string, bytes binary")
+
+
+def q_audio_segments(spark, sf_dir) -> DataFrame:
+    """Audio fixed-window/hop segmentation plumbing (1 s windows, 0.5 s
+    hop) over fake containers; videos in the same table are skipped."""
+    from .operators.multimodal import segment_audio
+
+    return segment_audio(_mixed_media_table(spark, sf_dir), window_s=1.0, hop_s=0.5)
+
+
+def q_audio_sound(spark, sf_dir) -> DataFrame:
+    """Soundness oracle for `audio_segments`: media a-K is (2 + K%4) s at
+    100 Hz, so with window 1 s / hop 0.5 s every segment must sit on the
+    half-second grid inside the duration with exactly 100 samples, each
+    media must emit EXACTLY 2*duration - 1 consecutive segments, and no
+    video id may leak through. Violations must be empty; vacuity guarded
+    by the expected-count check itself (a missing media is a violation)."""
+    segs = q_audio_segments(spark, sf_dir)
+    k = F.split(F.col("media_id"), "-").getItem(1).cast("long")
+    dur = (F.lit(2) + k % 4).cast("double")
+    bad_rows = segs.where(
+        ~F.col("media_id").startswith("a-")
+        | (F.col("seg_index") < 0)
+        | (F.abs(F.col("start_s") - F.col("seg_index") * 0.5) > 1e-9)
+        | (F.abs(F.col("end_s") - (F.col("start_s") + 1.0)) > 1e-9)
+        | (F.col("end_s") > dur + 1e-9)
+        | (F.col("n_samples") != 100)
+    ).select("media_id", F.lit("bad_segment").alias("reason"))
+    expected = _mixed_media_table(spark, sf_dir).select(
+        F.col("media_id")
+    ).where(F.col("media_id").startswith("a-"))
+    counts = segs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("seg_index").alias("nd")
+    )
+    joined = expected.join(counts, "media_id", "left")
+    k2 = F.split(F.col("media_id"), "-").getItem(1).cast("long")
+    want = (F.lit(2) + k2 % 4) * 2 - 1
+    bad_counts = joined.where(
+        F.col("n").isNull() | (F.col("n") != want) | (F.col("n") != F.col("nd"))
+    ).select("media_id", F.lit("bad_count").alias("reason"))
+    return bad_rows.unionByName(bad_counts)
+
+
+SQL_AUDIO_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+
 def _near_dup_images(spark, sf_dir, n_base: int = 300) -> DataFrame:
     """Deterministic image table with planted perceptual twins: one base
     image per part key; every 4th key also gets a noise-perturbed copy
@@ -2919,6 +2991,8 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "bpe_merges": q_bpe_merges,
     "decontaminated_corpus": q_decontaminated_corpus,
+    "audio_segments": q_audio_segments,
+    "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
     "url_quality": q_url_quality,
@@ -2990,6 +3064,7 @@ ORACLES = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "bpe_sound": SQL_BPE_SOUND,
     "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
+    "audio_sound": SQL_AUDIO_SOUND,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,

@@ -353,3 +353,44 @@ def laion_gate(
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("seg_index", T.IntegerType()),
+        T.StructField("start_s", T.DoubleType()),
+        T.StructField("end_s", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def segment_audio(
+    media: DataFrame, window_s: float = 1.0, hop_s: float = 0.5
+) -> DataFrame:
+    """Audio segmentation plan from the fake container's metadata — the
+    fixed-window/hop framing every audio featurizer (fbank/VAD/Whisper-style
+    chunking) starts from; the PCM decode itself is the stubbed step (see
+    module docstring: no codec libs in this container). Full windows only:
+    segment i covers [i*hop, i*hop + window] while it fits the duration.
+    Non-audio containers are skipped. One Arrow pass, schema/partitioning/
+    batch shape identical to a real decoder's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                kind, duration, rate = _parse_fake_media(bytes(data))
+                if kind != "audio":
+                    continue
+                si = 0
+                while si * hop_s + window_s <= duration + 1e-9:
+                    start = si * hop_s
+                    rows.append(
+                        (mid, si, start, start + window_s, int(window_s * rate))
+                    )
+                    si += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+    return media.select("media_id", "bytes").mapInPandas(run, SEGMENT_SCHEMA)

@@ -216,3 +216,25 @@ def test_laion_gate_first_failure_cascade(spark):
     assert got["good"].keep and got["good"].drop_reason is None
     assert got["good"].align_score > 0.95
     assert sum(1 for r in got.values() if r.keep) == 1
+
+
+def test_segment_audio_windows(spark):
+    """3 s audio at 8 Hz, 1 s window / 0.5 s hop -> 5 segments on the
+    half-second grid with 8 samples each; video containers are skipped."""
+    rows = [
+        ("a-1", MM.fake_media_payload("audio", 3.0, 8, 1)),
+        ("v-1", MM.fake_media_payload("video", 3.0, 8, 2)),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = sorted(
+        MM.segment_audio(media, window_s=1.0, hop_s=0.5).collect(),
+        key=lambda r: r.seg_index,
+    )
+    assert [r.media_id for r in got] == ["a-1"] * 5
+    assert [(r.seg_index, r.start_s, r.end_s, r.n_samples) for r in got] == [
+        (0, 0.0, 1.0, 8),
+        (1, 0.5, 1.5, 8),
+        (2, 1.0, 2.0, 8),
+        (3, 1.5, 2.5, 8),
+        (4, 2.0, 3.0, 8),
+    ]
