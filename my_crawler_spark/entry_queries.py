@@ -702,6 +702,50 @@ def q_repetition_stats(spark, sf_dir) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_events_asof(spark, sf_dir) -> DataFrame:
+    """As-of join: each purchase attached to the user's most recent prior
+    (or simultaneous) view — the point-in-time lookup Spark lacks as a
+    primitive, re-expressed as union + ordered-window carry-forward (one
+    shuffle, no inequality join). The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN — two entirely different algorithms, same rows."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id"],
+        tiebreak_col="event_id",
+        suffix="_view",
+    )
+    utc = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        utc("ts").alias("ts_us"),
+        F.col("event_id_view").alias("view_event_id"),
+        utc("ts_view").alias("view_ts_us"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.event_id AS view_event_id, epoch_us(r.ts) AS view_ts_us
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 SQL_REPETITION_STATS = """
     WITH t AS (
       SELECT doc_id,
@@ -2992,6 +3036,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "decontaminated_corpus": q_decontaminated_corpus,
     "audio_segments": q_audio_segments,
+    "events_asof": q_events_asof,
     "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
@@ -3065,6 +3110,7 @@ ORACLES = {
     "bpe_sound": SQL_BPE_SOUND,
     "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
     "audio_sound": SQL_AUDIO_SOUND,
+    "events_asof": SQL_EVENTS_ASOF,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,
