@@ -736,6 +736,48 @@ def q_events_asof(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_events_range_join(spark, sf_dir) -> DataFrame:
+    """Attribution-window range join: every click landing inside the 1-day
+    window after a signup by the same user. The Spark plan is the grid-
+    bucketed equi-join (no inequality-join blow-up: 6 h buckets, each pair
+    emitted exactly once by construction); the oracle is DuckDB's plain
+    BETWEEN inequality join — different plan family, same rows."""
+    from .operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us("ts").alias("ts")
+    )
+    day_us, bucket_us = 86_400_000_000, 21_600_000_000  # 1 day, 6 h
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        us("ts").alias("start"),
+        (us("ts") + F.lit(day_us)).alias("end"),
+    )
+    out = range_join(clicks, signups, bucket_width=bucket_us, by=["user_id"])
+    return out.select(
+        "click_id", "user_id", "ts", "signup_id_iv", "start_iv", "end_iv"
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts
+      FROM events WHERE event_type = 'click'),
+    s AS (
+      SELECT event_id AS signup_id, user_id, epoch_us(ts) AS start_us,
+             epoch_us(ts) + 86400000000 AS end_us
+      FROM events WHERE event_type = 'signup')
+    SELECT c.click_id, c.user_id, c.ts,
+           s.signup_id AS signup_id_iv, s.start_us AS start_iv,
+           s.end_us AS end_iv
+    FROM c JOIN s ON c.user_id = s.user_id
+                 AND c.ts BETWEEN s.start_us AND s.end_us
+"""
+
+
 SQL_EVENTS_ASOF = """
     SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
            r.event_id AS view_event_id, epoch_us(r.ts) AS view_ts_us
@@ -3037,6 +3079,7 @@ QUERIES = {
     "decontaminated_corpus": q_decontaminated_corpus,
     "audio_segments": q_audio_segments,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
@@ -3111,6 +3154,7 @@ ORACLES = {
     "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
     "audio_sound": SQL_AUDIO_SOUND,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,

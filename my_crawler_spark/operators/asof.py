@@ -83,3 +83,52 @@ def asof_join(
         F.col("__m")["__rts"].alias(f"{ts_col}{suffix}"),
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    bucket_width: int,
+    by: list[str] | None = None,
+    point_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair with
+    start <= point <= end (and equal `by` keys) — the attribution-window /
+    IP-range / time-slice lookup.
+
+    Catalyst plans the naive `ON p BETWEEN s AND e` as a broadcast-nested-
+    loop (quadratic). The scale shape is GRID BUCKETING: explode each
+    interval into the fixed-width buckets it overlaps, put each point in
+    its single bucket, equi-join on (by, bucket), filter exact containment.
+    A point lives in exactly one bucket and an interval appears once per
+    overlapped bucket, so each matching pair is emitted EXACTLY once — no
+    dedup pass. Cost is linear with blow-up factor len(interval)/width;
+    pick bucket_width ~ the median interval length.
+
+    Columns: all point columns + the interval's (start, end) and its other
+    columns suffixed `_iv`.
+    """
+    by = by or []
+    b_pt = F.floor(F.col(point_col) / F.lit(bucket_width)).alias("__bucket")
+    iv_payload = [c for c in intervals.columns if c not in by]
+    p = points.select("*", b_pt)
+    iv = intervals.select(
+        *[F.col(c) for c in by],
+        *[F.col(c).alias(f"{c}_iv") for c in iv_payload],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)),
+                F.floor(F.col(end_col) / F.lit(bucket_width)),
+            )
+        ).alias("__bucket"),
+    )
+    return (
+        p.join(iv, [*by, "__bucket"])
+        .filter(
+            (F.col(point_col) >= F.col(f"{start_col}_iv"))
+            & (F.col(point_col) <= F.col(f"{end_col}_iv"))
+        )
+        .drop("__bucket")
+    )

@@ -47,3 +47,28 @@ def test_asof_join_tiebreak_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "Window" in plan
+
+
+def test_range_join_exact_once_per_pair(spark):
+    """Each containing (point, interval) pair appears EXACTLY once even
+    when the interval spans many buckets; boundaries are inclusive; no
+    cross-group leakage; the plan's join is an equi hash/sort-merge join,
+    not a broadcast-nested-loop."""
+    from my_crawler_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 999), (4, "w", 100)],
+        "pid long, user_id string, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(10, "u", 100, 300), (11, "u", 240, 260), (12, "w", 500, 600)],
+        "iid long, user_id string, start long, end long",
+    )
+    out = range_join(points, intervals, bucket_width=50, by=["user_id"])
+    got = sorted((r.pid, r.iid_iv) for r in out.collect())
+    # point 1 at 100: interval 10 only (inclusive start);
+    # point 2 at 250: 10 AND 11 (overlap), each exactly once;
+    # point 3/4: nothing
+    assert got == [(1, 10), (2, 10), (2, 11)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
