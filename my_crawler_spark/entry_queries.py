@@ -702,6 +702,31 @@ def q_repetition_stats(spark, sf_dir) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_events_rollup(spark, sf_dir) -> DataFrame:
+    """ROLLUP aggregation (the OLAP subtotal lattice) over events:
+    (event_type, day) -> counts + value sums with per-type and grand-total
+    subtotal rows — Spark's rollup() vs DuckDB's GROUP BY ROLLUP, NULL
+    grouping keys and all."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp")).cast("string")
+    return (
+        ev.withColumn("day", day)
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+"""
+
+
 def q_events_asof(spark, sf_dir) -> DataFrame:
     """As-of join: each purchase attached to the user's most recent prior
     (or simultaneous) view — the point-in-time lookup Spark lacks as a
@@ -3080,6 +3105,7 @@ QUERIES = {
     "audio_segments": q_audio_segments,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "events_rollup": q_events_rollup,
     "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
@@ -3155,6 +3181,7 @@ ORACLES = {
     "audio_sound": SQL_AUDIO_SOUND,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,
