@@ -1089,6 +1089,48 @@ SQL_BPE_SOUND = """
 """
 
 
+def q_perplexity_bigram(spark, sf_dir) -> DataFrame:
+    """Bigram-LM perplexity (the n-gram step toward CCNet's KenLM):
+    p(w2|w1) = (bigram_cnt + 1)/(unigram_cnt + V), per-position logp
+    rounded 9dp, doc mean 6dp — the DuckDB oracle retrains the identical
+    bigram model and hash-matches."""
+    from .operators.lm import bigram_doc_perplexity
+
+    return bigram_doc_perplexity(_t(spark, sf_dir, "documents"))
+
+
+SQL_PERPLEXITY_BIGRAM = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    uni AS (
+      SELECT w, count(*) AS ucnt
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+    big AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)),
+    bcnt AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY w1, w2),
+    scored AS (
+      SELECT big.doc_id,
+             round(ln(bcnt + 1.0) - ln(ucnt + v.v), 9) AS logp
+      FROM big JOIN bcnt USING (w1, w2)
+               JOIN uni ON uni.w = big.w1
+               CROSS JOIN v),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(sum(logp) / count(*), 6) AS mean_logp
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.mean_logp,
+           round(exp(-a.mean_logp), 4) AS ppl
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     """Winnowing (MOSS) fingerprints: min md5 k-gram hash per sliding
     window of 4 consecutive 5-gram hashes, leftmost-min tie rule via the
@@ -3100,6 +3142,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "perplexity_bucket": q_perplexity_bucket,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "perplexity_bigram": q_perplexity_bigram,
     "bpe_merges": q_bpe_merges,
     "decontaminated_corpus": q_decontaminated_corpus,
     "audio_segments": q_audio_segments,
@@ -3176,6 +3219,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "perplexity_bigram": SQL_PERPLEXITY_BIGRAM,
     "bpe_sound": SQL_BPE_SOUND,
     "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
     "audio_sound": SQL_AUDIO_SOUND,

@@ -130,3 +130,72 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def bigram_doc_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM perplexity — the n-gram step from `doc_perplexity`'s
+    unigram model toward CCNet's 5-gram KenLM, same dataflow discipline:
+    p(w_i | w_{i-1}) = (cnt(w_{i-1} w_i) + 1) / (cnt(w_{i-1}) + V)
+    (add-one smoothing), scored over positions 1..n-1.
+
+    -> (doc_id, n_bigrams, mean_logp, ppl); docs with < 2 tokens are NULL.
+
+    Plan: the corpus tokenizes once; bigram counts are one extra shuffle
+    over the pair stream (the cost step from 1-gram to n-gram models —
+    each order adds one explode + one groupBy, traffic ~ token count);
+    scoring joins each doc position to the bigram dim on (w1, w2) and the
+    unigram dim on w1 — both shuffle hash joins (an n-gram vocab of a
+    100 TB corpus never broadcasts). Same cross-engine float rules as
+    doc_perplexity: per-position logp rounded 9dp, doc mean 6dp, exp from
+    the rounded mean.
+    """
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    big = toked.filter(F.size("toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(v)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.col("bcnt") + F.lit(1.0))
+                - F.log(F.col("ucnt") + F.col("v")),
+                9,
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("mean_logp"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "mean_logp",
+            F.round(F.exp(-F.col("mean_logp")), 4).alias("ppl"),
+        )
+    )

@@ -5,7 +5,12 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from my_crawler_spark.operators.lm import doc_perplexity, perplexity_buckets, unigram_vocab
+from my_crawler_spark.operators.lm import (
+    bigram_doc_perplexity,
+    doc_perplexity,
+    perplexity_buckets,
+    unigram_vocab,
+)
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +64,44 @@ def test_buckets_ordered_and_cover(spark, docs):
     assert set(by_bucket) >= {"head", "tail"}
     assert max(by_bucket["head"]) <= min(by_bucket["tail"])
     assert by_bucket[None] == [None]  # the empty doc is unscorable
+
+
+def test_bigram_perplexity_matches_hand_model(spark, docs):
+    rows = docs.collect()
+    corpus = {r.doc_id: r.text.lower().split() for r in rows}
+    uni, big = {}, {}
+    for toks in corpus.values():
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    vsz = float(len(uni))
+
+    def hand(toks):
+        lps = [
+            round(math.log(big[(a, b)] + 1.0) - math.log(uni[a] + vsz), 9)
+            for a, b in zip(toks, toks[1:])
+        ]
+        mean = round(sum(lps) / len(lps), 6)
+        return len(lps), round(math.exp(-mean), 4)
+
+    got = {r.doc_id: r for r in bigram_doc_perplexity(docs).collect()}
+    for did in (1, 4, 5):
+        n, ppl = hand(corpus[did])
+        assert got[did].n_bigrams == n
+        assert got[did].ppl == pytest.approx(ppl, abs=1e-9)
+    # shared bigrams ("the data", "data engine") make doc 1 more predictable
+    assert got[4].ppl > got[1].ppl
+    # empty doc: zero bigrams, NULL score
+    assert got[7].n_bigrams == 0 and got[7].ppl is None
+
+
+def test_bigram_perplexity_plan_has_no_python_stage(spark, docs):
+    plan = (
+        bigram_doc_perplexity(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
 
 
 def test_bucket_plan_has_no_python_stage(spark, docs):
