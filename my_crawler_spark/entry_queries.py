@@ -1514,6 +1514,60 @@ SQL_JACCARD_PAIRS = """
 """
 
 
+def q_hard_negatives(spark, sf_dir) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor doc, the top-3 other
+    docs in the sub-duplicate bigram-Jaccard band [0.05, 0.5) — high
+    lexical overlap that is NOT duplication, the pairs a dedup classifier
+    or contrastive model must learn to separate (random in-batch negatives
+    are easy; banded ones are hard)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.hard_negative_pairs(d, n=2, lo=0.05, hi=0.5, k=3, max_doc_freq=200)
+    return out.select(
+        "anchor_id",
+        "negative_id",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+SQL_HARD_NEGATIVES = """
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'), x -> x <> '') AS toks
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT id, unnest(
+        CASE WHEN len(toks) < 2 THEN []
+             ELSE [array_to_string(toks[i + 1 : i + 2], ' ')
+                   FOR i IN range(0, len(toks) - 2 + 1)] END) AS shingle
+      FROM t),
+    sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 200)),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY a.id, b.id),
+    banded AS (
+      SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jac
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.05
+        AND i / (sa.sz + sb.sz - i) < 0.5),
+    sym AS (
+      SELECT id_a AS anchor_id, id_b AS negative_id, jac FROM banded
+      UNION ALL
+      SELECT id_b AS anchor_id, id_a AS negative_id, jac FROM banded),
+    ranked AS (
+      SELECT anchor_id, negative_id, jac,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY jac DESC, negative_id) AS rk
+      FROM sym)
+    SELECT anchor_id, negative_id, round(jac, 6) AS jaccard, rk
+    FROM ranked WHERE rk <= 3
+"""
+
+
 def q_decontaminate(spark, sf_dir) -> DataFrame:
     """Benchmark decontamination (GPT-3/Pile-style n-gram train/test
     overlap): an eval set is synthesized from the corpus itself —
@@ -3163,6 +3217,7 @@ QUERIES = {
     "rank_boosts": q_rank_boosts,
     "dedup_diversify_paginate": q_dedup_diversify_paginate,
     "jaccard_pairs": q_jaccard_pairs,
+    "hard_negatives": q_hard_negatives,
     "decontaminate": q_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "pagerank": q_pagerank,
@@ -3237,6 +3292,7 @@ ORACLES = {
     "rank_boosts": SQL_RANK_BOOSTS,
     "dedup_diversify_paginate": SQL_DEDUP_DIVERSIFY_PAGINATE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pagerank": SQL_PAGERANK,

@@ -687,3 +687,75 @@ def semdedup(
     return members.withColumn(
         "keep", F.row_number().over(wk) == 1
     )
+
+
+def hard_negative_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    lo: float = 0.05,
+    hi: float = 0.5,
+    k: int = 3,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor doc, the top-``k``
+    OTHER docs whose n-gram Jaccard falls in the sub-duplicate band
+    [``lo``, ``hi``) — high lexical overlap, but NOT duplicates. These are
+    exactly the pairs a dedup classifier / contrastive retrieval model must
+    learn to push apart (in-batch negatives from e.g. CLIP training are
+    random and therefore easy; the band makes them hard).
+
+    -> (anchor_id, negative_id, jaccard, rk), rk in 1..k per anchor,
+    ordered by jaccard DESC with negative_id ASC as the tie rule.
+
+    Plan: one shingle self-join (the same blocked equi-join as
+    ``jaccard_pairs`` — with ``max_doc_freq`` pruning the hot shingles
+    that would otherwise quadratic-blow the join at bigram n), one
+    groupBy, two size-dim joins, then a symmetric union (each surviving
+    pair is a candidate for BOTH endpoints' anchor lists) and a
+    per-anchor window top-k. The window partitions on anchor_id, so the
+    final shuffle is anchor-keyed and bounded by k rows out per anchor.
+    """
+    sh = ngram_shingles(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_doc_freq
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    banded = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter((F.col("jaccard") >= lo) & (F.col("jaccard") < hi))
+        .select("id_a", "id_b", "jaccard")
+    )
+    sym = banded.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("negative_id"),
+        "jaccard",
+    ).unionByName(
+        banded.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("jaccard").desc(), F.col("negative_id")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", "negative_id", "jaccard", "rk")
+    )

@@ -247,3 +247,37 @@ def test_scrub_spans_removes_all_duplication(spark):
         "doc_id", F.col("clean_text").alias("text")
     )
     assert duplicate_spans(cleaned, window=8).count() == 0
+
+
+def test_hard_negative_pairs_band_and_topk(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1 (j=1.0)
+        (3, "alpha beta gamma delta something else entirely now"),  # overlaps 1/2
+        (4, "gamma delta epsilon zeta other words here too"),  # overlaps 1/2
+        (5, "unrelated corpus talking about spark shuffles only"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.hard_negative_pairs(docs, n=2, lo=0.05, hi=0.99, k=2, max_doc_freq=None)
+    got = {(r.anchor_id, r.negative_id): (r.jaccard, r.rk) for r in out.collect()}
+    # exact duplicates (1,2) are excluded by the hi bound
+    assert (1, 2) not in got and (2, 1) not in got
+    # the isolated doc mines nothing
+    assert not any(a == 5 or b == 5 for a, b in got)
+    # banded overlaps are mined symmetrically, ranked by jaccard desc
+    assert (1, 3) in got and (3, 1) in got and (1, 4) in got
+    j_by_rank = sorted(
+        ((rk, j) for (a, _), (j, rk) in got.items() if a == 1)
+    )
+    assert [rk for rk, _ in j_by_rank] == [1, 2]
+    assert j_by_rank[0][1] >= j_by_rank[1][1]
+    # hand-check one jaccard value against the python twin
+    assert got[(1, 3)][0] == pytest.approx(_py_jaccard(rows[0][1], rows[2][1], 2), abs=1e-6)
+
+
+def test_hard_negative_pairs_respects_k(spark):
+    rows = [(i, "shared bigram core text block number %d" % i) for i in range(1, 8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.hard_negative_pairs(docs, n=2, lo=0.01, hi=0.999, k=3, max_doc_freq=None)
+    per_anchor = out.groupBy("anchor_id").count().collect()
+    assert per_anchor and all(r["count"] <= 3 for r in per_anchor)
