@@ -1514,6 +1514,34 @@ SQL_JACCARD_PAIRS = """
 """
 
 
+def q_approx_distinct_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for sketch-based distinct counting: HLL++
+    `approx_count_distinct` (the metrics path that replaces exact
+    count(DISTINCT) at 100 TB) per supplier over lineitem order keys plus a
+    second grouping over events (distinct users per event type), each
+    estimate checked against the exact plan within a 4*rsd band. An empty
+    result PROVES every sketch estimate landed in band (a zero-group input
+    would itself be a violation, so the check cannot pass vacuously)."""
+    from .operators.sketches import approx_distinct_violations
+
+    li = approx_distinct_violations(
+        _t(spark, sf_dir, "lineitem"), ["l_suppkey"], "l_orderkey", rsd=0.05
+    )
+    ev = approx_distinct_violations(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", rsd=0.05
+    )
+    return li.unionByName(ev)
+
+
+SQL_APPROX_DISTINCT_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS group_key,
+           CAST(NULL AS BIGINT) AS n_exact,
+           CAST(NULL AS BIGINT) AS n_approx
+    WHERE 1 = 0
+"""
+
+
 def q_hard_negatives(spark, sf_dir) -> DataFrame:
     """Contrastive hard-negative mining: per anchor doc, the top-3 other
     docs in the sub-duplicate bigram-Jaccard band [0.05, 0.5) — high
@@ -3218,6 +3246,7 @@ QUERIES = {
     "dedup_diversify_paginate": q_dedup_diversify_paginate,
     "jaccard_pairs": q_jaccard_pairs,
     "hard_negatives": q_hard_negatives,
+    "approx_distinct_sound": q_approx_distinct_sound,
     "decontaminate": q_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "pagerank": q_pagerank,
@@ -3293,6 +3322,7 @@ ORACLES = {
     "dedup_diversify_paginate": SQL_DEDUP_DIVERSIFY_PAGINATE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "approx_distinct_sound": SQL_APPROX_DISTINCT_SOUND,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pagerank": SQL_PAGERANK,

@@ -1,0 +1,51 @@
+"""HLL++ approx-distinct sketch: production plan shape + soundness band."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_crawler_spark.operators.sketches import (
+    approx_distinct,
+    approx_distinct_violations,
+)
+
+
+def _events(spark):
+    rows = [(i, "host-%d" % (i % 7), "u-%d" % (i % 53)) for i in range(2000)]
+    return spark.createDataFrame(rows, ["event_id", "host", "user_id"])
+
+
+def test_approx_distinct_near_exact_on_small_groups(spark):
+    df = _events(spark)
+    got = {r.host: r.n_approx for r in approx_distinct(df, ["host"], "user_id").collect()}
+    exact = {
+        r.host: r.n
+        for r in df.groupBy("host").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    for h, n in exact.items():
+        assert abs(got[h] - n) <= max(0.2 * n, 2)
+
+
+def test_violations_empty_and_checker_not_vacuous(spark):
+    df = _events(spark)
+    assert approx_distinct_violations(df, ["host"], "user_id").count() == 0
+    # the checker itself must be falsifiable: a zero-width band fires
+    assert (
+        approx_distinct_violations(df, ["host"], "user_id", tol_sigmas=0.0, abs_slack=0).count()
+        > 0
+    )
+    # ... and an empty input is reported as vacuous, not silently green
+    empty = approx_distinct_violations(df.limit(0), ["host"], "user_id").collect()
+    assert [r.violation for r in empty] == ["vacuous_grouping"]
+
+
+def test_production_plan_has_no_expand_and_no_python(spark):
+    plan = (
+        approx_distinct(_events(spark), ["host"], "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("Expand", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
