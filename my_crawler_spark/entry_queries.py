@@ -727,6 +727,60 @@ SQL_EVENTS_ROLLUP = """
 """
 
 
+def q_events_cube(spark, sf_dir) -> DataFrame:
+    """CUBE aggregation — the full 2^k subtotal lattice (ROLLUP's superset):
+    all four groupings of (event_type, day) including the day-only marginal
+    ROLLUP omits. Spark's cube() vs DuckDB's GROUP BY CUBE."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp")).cast("string")
+    return (
+        ev.withColumn("day", day)
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+"""
+
+
+def q_events_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Explicit GROUPING SETS — the hand-picked lattice (per-type, per-user
+    marginals and the grand total, but NO (type, user) fine cells), plus
+    grouping_id() to disambiguate real NULL keys from subtotal NULLs."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id,
+               CAST(grouping(event_type) * 2 + grouping(user_id) AS BIGINT)
+                 AS gset,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = """
+    SELECT event_type, user_id,
+           CAST(grouping(event_type) * 2 + grouping(user_id) AS BIGINT)
+             AS gset,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
 def q_events_asof(spark, sf_dir) -> DataFrame:
     """As-of join: each purchase attached to the user's most recent prior
     (or simultaneous) view — the point-in-time lookup Spark lacks as a
@@ -3231,6 +3285,8 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_grouping_sets": q_events_grouping_sets,
     "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
@@ -3310,6 +3366,8 @@ ORACLES = {
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_cube": SQL_EVENTS_CUBE,
+    "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,
