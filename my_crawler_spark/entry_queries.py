@@ -1568,6 +1568,63 @@ SQL_JACCARD_PAIRS = """
 """
 
 
+def q_aspect_buckets(spark, sf_dir) -> DataFrame:
+    """SDXL/NovelAI-style aspect-ratio bucketing: every image is assigned
+    the resolution bucket whose aspect is nearest its own (|w/h - bw/bh|
+    via integer cross-multiplication, ties to the lower bucket id) so
+    training batches stay shape-homogeneous. Spark side is a pure map-only
+    array_sort over the literal bucket table (no join, no shuffle); the
+    oracle re-derives the argmin with an explode + window — two different
+    algorithms, same rows. Dimensions synthesized deterministically from
+    part keys."""
+    from .operators.multimodal import assign_aspect_buckets
+
+    imgs = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("img-"), F.col("p_partkey")).alias("image_id"),
+        (F.lit(256) + (F.col("p_partkey") * 37) % 1792).cast("long").alias("w"),
+        (F.lit(256) + (F.col("p_partkey") * 53) % 1792).cast("long").alias("h"),
+    )
+    out = assign_aspect_buckets(imgs)
+    return out.select(
+        "image_id",
+        "w",
+        "h",
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        F.col("bucket_w").cast("long").alias("bucket_w"),
+        F.col("bucket_h").cast("long").alias("bucket_h"),
+        "aspect_err",
+    )
+
+
+SQL_ASPECT_BUCKETS = """
+    WITH imgs AS (
+      SELECT 'img-' || p_partkey AS image_id,
+             CAST(256 + (p_partkey * 37) % 1792 AS BIGINT) AS w,
+             CAST(256 + (p_partkey * 53) % 1792 AS BIGINT) AS h
+      FROM part),
+    buckets(i, bw, bh) AS (VALUES
+      (0, 512, 2048), (1, 576, 1728), (2, 640, 1536), (3, 704, 1408),
+      (4, 768, 1344), (5, 832, 1216), (6, 896, 1152), (7, 1024, 1024),
+      (8, 1152, 896), (9, 1216, 832), (10, 1344, 768), (11, 1408, 704),
+      (12, 1536, 640), (13, 1728, 576), (14, 2048, 512)),
+    scored AS (
+      SELECT image_id, w, h, i, bw, bh,
+             abs(CAST(w * bh - h * bw AS DOUBLE)) / CAST(h * bh AS DOUBLE)
+               AS err,
+             row_number() OVER (
+               PARTITION BY image_id
+               ORDER BY abs(CAST(w * bh - h * bw AS DOUBLE))
+                          / CAST(h * bh AS DOUBLE), i) AS rk
+      FROM imgs CROSS JOIN buckets)
+    SELECT image_id, w, h,
+           CAST(i AS BIGINT) AS bucket_id,
+           CAST(bw AS BIGINT) AS bucket_w,
+           CAST(bh AS BIGINT) AS bucket_h,
+           round(err, 6) AS aspect_err
+    FROM scored WHERE rk = 1
+"""
+
+
 def q_approx_distinct_sound(spark, sf_dir) -> DataFrame:
     """Empty-violations oracle for sketch-based distinct counting: HLL++
     `approx_count_distinct` (the metrics path that replaces exact
@@ -3303,6 +3360,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "hard_negatives": q_hard_negatives,
     "approx_distinct_sound": q_approx_distinct_sound,
+    "aspect_buckets": q_aspect_buckets,
     "decontaminate": q_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "pagerank": q_pagerank,
@@ -3381,6 +3439,7 @@ ORACLES = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "approx_distinct_sound": SQL_APPROX_DISTINCT_SOUND,
+    "aspect_buckets": SQL_ASPECT_BUCKETS,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pagerank": SQL_PAGERANK,

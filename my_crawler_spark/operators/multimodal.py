@@ -394,3 +394,66 @@ def segment_audio(
             yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
     return media.select("media_id", "bytes").mapInPandas(run, SEGMENT_SCHEMA)
+
+
+# SDXL-style resolution buckets: ~1024^2 pixels at 64-px-aligned aspect
+# steps. Training batches must be shape-homogeneous, so every image is
+# assigned to the bucket whose aspect ratio is nearest its own (NovelAI /
+# SDXL bucketed batching), then resized to that bucket's (w, h).
+ASPECT_BUCKETS: list[tuple[int, int, int]] = [
+    (i, w, h)
+    for i, (w, h) in enumerate(
+        [
+            (512, 2048), (576, 1728), (640, 1536), (704, 1408),
+            (768, 1344), (832, 1216), (896, 1152), (1024, 1024),
+            (1152, 896), (1216, 832), (1344, 768), (1408, 704),
+            (1536, 640), (1728, 576), (2048, 512),
+        ]
+    )
+]
+
+
+def assign_aspect_buckets(images: DataFrame, w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """Nearest-aspect bucket per image -> original cols + (bucket_id,
+    bucket_w, bucket_h, aspect_err).
+
+    Distance is |w/h - bw/bh| computed as |w*bh - h*bw| / (h*bh) — integer
+    cross-multiplication then ONE double division, so the value is
+    bit-identical across engines (no log, no libm). Ties break to the
+    lower bucket_id.
+
+    Plan: the bucket table is a LITERAL array; assignment is array_sort
+    over a 15-element transform — a pure per-row projection, NO join and
+    NO shuffle. At 10^10 rows this is map-only work that pipelines into
+    whichever exchange follows (the groupBy on bucket_id that forms
+    homogeneous batches).
+    """
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.lit(w).alias("bw"), F.lit(h).alias("bh")
+            )
+            for i, w, h in ASPECT_BUCKETS
+        ]
+    )
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    scored = F.transform(
+        buckets,
+        lambda b: F.struct(
+            (
+                F.abs((w * b["bh"] - h * b["bw"]).cast("double"))
+                / (h * b["bh"]).cast("double")
+            ).alias("err"),
+            b["i"].alias("i"),
+            b["bw"].alias("bw"),
+            b["bh"].alias("bh"),
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return images.select(
+        "*",
+        best["i"].alias("bucket_id"),
+        best["bw"].alias("bucket_w"),
+        best["bh"].alias("bucket_h"),
+        F.round(best["err"], 6).alias("aspect_err"),
+    )

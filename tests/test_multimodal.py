@@ -238,3 +238,27 @@ def test_segment_audio_windows(spark):
         (3, 1.5, 2.5, 8),
         (4, 2.0, 3.0, 8),
     ]
+
+
+def test_aspect_buckets_nearest_and_shuffle_free(spark):
+    from my_crawler_spark.operators.multimodal import ASPECT_BUCKETS, assign_aspect_buckets
+
+    rows = [
+        ("sq", 1000, 1000),   # exactly square -> (1024, 1024)
+        ("wide", 2048, 512),  # exactly the widest bucket
+        ("tall", 500, 2000),  # exactly the tallest bucket (1:4 -> 512x2048)
+        ("mid", 900, 1100),
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "w", "h"])
+    got = {r.image_id: r for r in assign_aspect_buckets(df).collect()}
+    assert (got["sq"].bucket_w, got["sq"].bucket_h) == (1024, 1024)
+    assert (got["wide"].bucket_w, got["wide"].bucket_h) == (2048, 512)
+    assert (got["tall"].bucket_w, got["tall"].bucket_h) == (512, 2048)
+    # hand argmin for the non-trivial one
+    w, h = 900, 1100
+    best = min(ASPECT_BUCKETS, key=lambda b: (abs(w * b[2] - h * b[1]) / (h * b[2]), b[0]))
+    assert got["mid"].bucket_id == best[0]
+    # assignment must be a pure projection: no exchange, no join, no python
+    plan = assign_aspect_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
