@@ -1653,6 +1653,30 @@ SQL_APPROX_DISTINCT_SOUND = """
 """
 
 
+def q_approx_quantile_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for quantile sketching (percentile_approx —
+    the no-sort path for per-host latency/size distributions at 100 TB):
+    every sketch quantile over events.value per event_type must land
+    between the exact interpolated quantiles at prob -/+ 1/accuracy.
+    Empty input reports `vacuous_grouping`, so green cannot be vacuous."""
+    from .operators.sketches import approx_quantile_violations
+
+    return approx_quantile_violations(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", accuracy=1000
+    )
+
+
+SQL_APPROX_QUANTILE_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS group_key,
+           CAST(NULL AS DOUBLE) AS prob,
+           CAST(NULL AS DOUBLE) AS q_approx,
+           CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE 1 = 0
+"""
+
+
 def q_hard_negatives(spark, sf_dir) -> DataFrame:
     """Contrastive hard-negative mining: per anchor doc, the top-3 other
     docs in the sub-duplicate bigram-Jaccard band [0.05, 0.5) — high
@@ -3361,6 +3385,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "approx_distinct_sound": q_approx_distinct_sound,
     "aspect_buckets": q_aspect_buckets,
+    "approx_quantile_sound": q_approx_quantile_sound,
     "decontaminate": q_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "pagerank": q_pagerank,
@@ -3440,6 +3465,7 @@ ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "approx_distinct_sound": SQL_APPROX_DISTINCT_SOUND,
     "aspect_buckets": SQL_ASPECT_BUCKETS,
+    "approx_quantile_sound": SQL_APPROX_QUANTILE_SOUND,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pagerank": SQL_PAGERANK,

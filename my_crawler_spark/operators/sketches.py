@@ -78,3 +78,97 @@ def approx_distinct_violations(
         )
     )
     return bad.unionByName(vacuous)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-group quantile sketch (Greenwald-Khanna via approx_percentile):
+    (keys..., prob, q_approx). Like the HLL path, the sketch partial-
+    aggregates map-side and merges as a bounded accumulator — no per-group
+    sort, no full shuffle of values, rank error <= 1/accuracy."""
+    est = df.groupBy(*keys).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("qs")
+    )
+    pos = F.posexplode(F.col("qs"))
+    pr = F.array(*[F.lit(float(p)) for p in probs])
+    return est.select(
+        *keys, pos.alias("i", "q_approx")
+    ).select(
+        *keys,
+        F.element_at(pr, F.col("i") + 1).alias("prob"),
+        F.col("q_approx").cast("double").alias("q_approx"),
+    )
+
+
+def approx_quantile_violations(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Empty-violations check: every sketch quantile must land between the
+    EXACT interpolated quantiles at prob -/+ 1/accuracy (the sketch's rank
+    guarantee, widened by one interpolation step). Vacuous groupings are
+    themselves violations, so an empty result is evidence, not absence.
+    """
+    eps = 1.0 / accuracy
+    est = approx_quantiles(df, keys, value_col, probs, accuracy)
+    lo_arr = F.array(*[F.lit(max(p - eps, 0.0)) for p in probs])
+    hi_arr = F.array(*[F.lit(min(p + eps, 1.0)) for p in probs])
+    pr = F.array(*[F.lit(float(p)) for p in probs])
+    exact = df.groupBy(*keys).agg(
+        F.percentile(F.col(value_col).cast("double"), lo_arr).alias("los"),
+        F.percentile(F.col(value_col).cast("double"), hi_arr).alias("his"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pos = F.posexplode(F.col("qs_zip"))
+    bounds = exact.select(
+        *keys,
+        "n",
+        F.arrays_zip(pr.alias("prob"), F.col("los").alias("lo"), F.col("his").alias("hi")).alias(
+            "qs_zip"
+        ),
+    ).select(*keys, "n", pos.alias("i", "z")).select(
+        *keys, "n", F.col("z.prob").alias("prob"), F.col("z.lo").alias("lo"), F.col("z.hi").alias("hi")
+    )
+    j = bounds.join(est, [*keys, "prob"], "full_outer")
+    # one interpolation step of slack: exact bounds interpolate between
+    # neighbors while the sketch returns a real element of the group
+    slack = (F.col("hi") - F.col("lo")) + F.lit(1e-9) + F.abs(F.col("hi")) * F.lit(1e-12)
+    gkey = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    bad = j.where(
+        F.col("q_approx").isNull()
+        | F.col("lo").isNull()
+        | (F.col("q_approx") < F.col("lo") - slack)
+        | (F.col("q_approx") > F.col("hi") + slack)
+    ).select(
+        F.lit("quantile_out_of_band").alias("violation"),
+        gkey.alias("group_key"),
+        F.col("prob"),
+        F.col("q_approx"),
+        F.col("lo"),
+        F.col("hi"),
+    )
+    vacuous = (
+        df.groupBy(*keys)
+        .count()
+        .agg(F.count(F.lit(1)).alias("g"))
+        .where(F.col("g") == 0)
+        .select(
+            F.lit("vacuous_grouping").alias("violation"),
+            F.lit(None).cast("string").alias("group_key"),
+            F.lit(None).cast("double").alias("prob"),
+            F.lit(None).cast("double").alias("q_approx"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+        )
+    )
+    return bad.unionByName(vacuous)

@@ -49,3 +49,21 @@ def test_production_plan_has_no_expand_and_no_python(spark):
     )
     for marker in ("Expand", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_approx_quantiles_in_exact_band(spark):
+    from my_crawler_spark.operators.sketches import (
+        approx_quantile_violations,
+        approx_quantiles,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float((i * 7919) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["i", "g", "v"])
+    assert approx_quantile_violations(df, ["g"], "v").count() == 0
+    got = {(r.g, r.prob): r.q_approx for r in approx_quantiles(df, ["g"], "v").collect()}
+    import numpy as np
+
+    vals = sorted(v for _, g, v in rows if g == "g0")
+    assert abs(got[("g0", 0.5)] - np.percentile(vals, 50)) <= 5.0
+    empty = approx_quantile_violations(df.limit(0), ["g"], "v").collect()
+    assert [r.violation for r in empty] == ["vacuous_grouping"]
