@@ -206,6 +206,7 @@ def bench_queries(spark, sf_dir) -> dict[str, float]:
         "image_near_dup", "dedup_diversify_paginate", "events_sessionize",
         "dedup_clusters", "corpus_curation", "caption_alignment",
         "perplexity_bucket", "scrub_spans", "semdedup",
+        "hard_negatives", "aspect_buckets", "perplexity_bigram",
     ]:
         t0 = time.time()
         n = EQ.QUERIES[name](spark, sf_dir).count()

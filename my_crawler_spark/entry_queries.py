@@ -781,6 +781,117 @@ SQL_EVENTS_GROUPING_SETS = """
 """
 
 
+def q_salted_agg(spark, sf_dir) -> DataFrame:
+    """Explicit skew-salted aggregation — the two-stage pattern the crawl
+    plan uses for hot hosts, surfaced as its own graded entry: stage 1
+    pre-aggregates on (hot_key, xxhash64(row) % 16) so a hot key's rows
+    spread over 16 tasks instead of one straggler; stage 2 folds the 16
+    partials. The oracle is a PLAIN single-stage GROUP BY — hash-match
+    proves the salted plan is semantics-preserving."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sv"), 4).alias("total_value"),
+        F.round(F.min("mn"), 4).alias("min_value"),
+        F.round(F.max("mx"), 4).alias("max_value"),
+    )
+
+
+SQL_SALTED_AGG = """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def q_events_pivot(spark, sf_dir) -> DataFrame:
+    """PIVOT: per-day event counts fanned into one column per event type
+    (Spark groupBy().pivot() with an explicit value list — never the
+    values-scan variant, which is an extra job at scale) vs the oracle's
+    conditional aggregation — two different mechanisms, same table."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp")).cast("string")
+    return (
+        ev.withColumn("day", day)
+        .groupBy("day")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+                for c in ["view", "click", "purchase", "signup", "error"]
+            ],
+        )
+    )
+
+
+SQL_EVENTS_PIVOT = """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'error') AS n_error
+    FROM events
+    GROUP BY 1
+"""
+
+
+def q_winsorize(spark, sf_dir) -> DataFrame:
+    """Per-group winsorization (outlier clipping to [p05, p95] — the
+    standard guard before loss-weighting / reward-model training on noisy
+    signals): exact per-type percentiles (6dp-rounded cross-engine, the
+    proven float rule), broadcast back as a dim, clip in a projection."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4
+            ).alias("value_winsorized"),
+            (F.col("value") < F.col("lo")).alias("clipped_low"),
+            (F.col("value") > F.col("hi")).alias("clipped_high"),
+        )
+    )
+
+
+SQL_WINSORIZE = """
+    WITH bounds AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type,
+           round(value, 4) AS value,
+           round(least(greatest(value, lo), hi), 4) AS value_winsorized,
+           value < lo AS clipped_low,
+           value > hi AS clipped_high
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+"""
+
+
 def q_events_asof(spark, sf_dir) -> DataFrame:
     """As-of join: each purchase attached to the user's most recent prior
     (or simultaneous) view — the point-in-time lookup Spark lacks as a
@@ -3368,6 +3479,9 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_grouping_sets": q_events_grouping_sets,
+    "salted_agg": q_salted_agg,
+    "events_pivot": q_events_pivot,
+    "winsorize": q_winsorize,
     "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
@@ -3451,6 +3565,9 @@ ORACLES = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_cube": SQL_EVENTS_CUBE,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
+    "salted_agg": SQL_SALTED_AGG,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "winsorize": SQL_WINSORIZE,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,
