@@ -1296,6 +1296,47 @@ SQL_PERPLEXITY_BIGRAM = """
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """Doc-level keyword extraction: top-5 terms per document by smoothed
+    TF-IDF (tf * (ln((N+1)/(df+1)) + 1)), ties broken by term. The
+    term-keyed df relation shuffle-joins (a 100 TB vocab never broadcasts);
+    N is a crossJoined 1-row agg, no driver round trip."""
+    from .operators.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "score",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'),
+               x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 9), 6)
+               AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 5
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     """Winnowing (MOSS) fingerprints: min md5 k-gram hash per sliding
     window of 4 consecutive 5-gram hashes, leftmost-min tie rule via the
@@ -3482,6 +3523,7 @@ QUERIES = {
     "salted_agg": q_salted_agg,
     "events_pivot": q_events_pivot,
     "winsorize": q_winsorize,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
@@ -3568,6 +3610,7 @@ ORACLES = {
     "salted_agg": SQL_SALTED_AGG,
     "events_pivot": SQL_EVENTS_PIVOT,
     "winsorize": SQL_WINSORIZE,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,

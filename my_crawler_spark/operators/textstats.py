@@ -15,7 +15,7 @@ All pure column expressions (JVM/codegen) — no UDFs:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -248,4 +248,51 @@ def winnow_fingerprints(
             F.substring("pick", 1, 32).alias("fp"),
         )
         .distinct()
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (score = tf * (ln((N+1)/(df+1)) + 1)) — the doc-level keyword extractor
+    next to the chunk-level BM25 ranker.
+
+    -> (doc_id, term, tf, df, score, rk), rk 1..k by score DESC, term ASC.
+
+    Plan: one tokenize + explode, tf = groupBy (doc, term), df = groupBy
+    term; N is a 1-row agg crossJoined in (no collect, no driver round
+    trip). The df relation is term-keyed — a 100 TB vocab shuffle-joins,
+    never broadcasts. Per-term ln() is rounded 9dp before the multiply
+    (the cross-engine libm rule), the score 6dp for output; ranking uses
+    the same rounded value both engines.
+    """
+    from .dedup import tokens
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(n)
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 9
+            ),
+        )
+        .withColumn("score", F.round(F.col("tf") * F.col("idf"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rk")
     )

@@ -123,3 +123,29 @@ def test_winnow_fingerprints_guarantee(spark):
     assert 4 not in by_doc
     # storage bound: picks per doc <= number of full windows
     assert all(len(v) <= 20 for v in by_doc.values())
+
+
+def test_tfidf_top_terms_hand_model(spark):
+    import math
+
+    from my_crawler_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana cherry cherry cherry"),
+        (3, "apple durian durian elderberry"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.rk): r for r in tfidf_top_terms(docs, k=2).collect()}
+
+    def idf(df):
+        return round(math.log(4.0 / (df + 1)) + 1.0, 9)
+
+    # doc 2: cherry tf=3 df=2 beats banana tf=1
+    assert got[(2, 1)].term == "cherry"
+    assert got[(2, 1)].score == round(3 * idf(2), 6)
+    # doc 3: durian tf=2 df=1 is the rarest-and-densest term
+    assert got[(3, 1)].term == "durian"
+    assert got[(3, 1)].score == round(2 * idf(1), 6)
+    # k bound respected
+    assert all(rk <= 2 for _, rk in got)
