@@ -623,6 +623,32 @@ SQL_QUALITY_SCORE = """
 """
 
 
+def q_curriculum_phases(spark, sf_dir) -> DataFrame:
+    """Curriculum ordering: corpus split into 4 quality-ordered training
+    phases via ntile over (quality, doc_id) — phase 1 = cleanest quartile
+    first, the standard easy-to-hard curriculum schedule. Deterministic
+    ties make ntile identical across engines. NOTE: a single global ntile
+    is a one-task sort at 10^10 rows — the scale path buckets by the
+    PRE-COMPUTED per-sample quantile thresholds (q_winsorize's broadcast
+    bounds-dim pattern); this entry pins the semantics both share."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", TS.quality_score_expr(F.col("text")).alias("quality"))
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return q.select(
+        "doc_id",
+        "quality",
+        F.ntile(4).over(w).cast("long").alias("phase"),
+    )
+
+
+SQL_CURRICULUM_PHASES = f"""
+    WITH scored AS ({SQL_QUALITY_SCORE})
+    SELECT doc_id, quality,
+           ntile(4) OVER (ORDER BY quality DESC, doc_id) AS phase
+    FROM scored
+"""
+
+
 def q_lang_id(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -3524,6 +3550,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "winsorize": q_winsorize,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "curriculum_phases": q_curriculum_phases,
     "audio_sound": q_audio_sound,
     "bpe_sound": q_bpe_sound,
     "duplicate_spans": q_duplicate_spans,
@@ -3611,6 +3638,7 @@ ORACLES = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "winsorize": SQL_WINSORIZE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "curriculum_phases": SQL_CURRICULUM_PHASES,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "url_quality": SQL_URL_QUALITY,
     "scrub_spans": SQL_SCRUB_SPANS,

@@ -257,3 +257,65 @@ def curation_stream(
             fresh.unpersist()
 
     return docs_stream.writeStream.foreachBatch(_process)
+
+
+def image_pair_stream(
+    images_stream: DataFrame,
+    curated_table,
+    seen_table,
+    min_caption_chars: int = 5,
+):
+    """Streamed image+caption ingest — the image-axis twin of
+    `curation_stream`: each micro-batch of (image_id, bytes, caption) rows
+    runs the batch pipeline's decode gate (one Arrow pass -> decode_ok, w,
+    h, phash), a caption gate (non-empty, >= min_caption_chars), exact
+    within-batch phash dedup (min image_id per phash), then the cross-batch
+    anti-join on the seen-phash snapshot table before appending survivors
+    as (image_id, phash, w, h, caption).
+
+    Exactly-once effect: re-delivered micro-batches anti-join to nothing,
+    so replay converges to the same curated table (the `curation_stream`
+    idempotence contract). The streaming form trades the batch pipeline's
+    transitive Hamming clustering for exact-phash dedup — near-dup
+    consolidation stays a periodic BATCH compaction over the curated
+    table (`curate_images`), which is how an incremental ingest + nightly
+    dedup actually splits at scale; state here is O(accepted phashes).
+    """
+    from ..operators.multimodal import decode_stats
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = (
+            decode_stats(batch_df.select("image_id", "bytes"))
+            .filter(F.col("decode_ok") & (F.col("w") > 0) & (F.col("h") > 0))
+            .join(batch_df.select("image_id", "caption"), "image_id")
+            .filter(
+                F.length(F.trim(F.col("caption"))) >= F.lit(int(min_caption_chars))
+            )
+        )
+        from pyspark.sql import Window as W
+
+        first = (
+            gated.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("phash").orderBy("image_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        fresh = first.join(seen_table.read(), "phash", "left_anti").cache()
+        try:
+            curated_table.commit(
+                fresh.select(
+                    "image_id",
+                    "phash",
+                    F.col("w").cast("long").alias("w"),
+                    F.col("h").cast("long").alias("h"),
+                    "caption",
+                ),
+                mode="append",
+            )
+            seen_table.commit(fresh.select("phash"), mode="append")
+        finally:
+            fresh.unpersist()
+
+    return images_stream.writeStream.foreachBatch(_process)

@@ -227,3 +227,79 @@ def test_curation_stream_cross_batch_dedup_and_idempotence(spark, tmp_path):
     run("ck2")
     assert t_curated.read().count() == 2
     assert t_seen.read().count() == 2
+
+
+def test_image_pair_stream_cross_batch_phash_dedup(spark, tmp_path):
+    """Image-axis streamed ingest: decode gate drops broken bytes, caption
+    gate drops stubs, identical pixels dedup within AND across batches via
+    the seen-phash table, and replaying the stream is a no-op."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from my_crawler_spark import codecs as C
+    from my_crawler_spark.fixtures import make_pixels
+    from my_crawler_spark.sources.lake import Catalog
+    from my_crawler_spark.streaming.stream_crawl import image_pair_stream
+
+    png_a = C.encode_image(make_pixels(7, 1, 16, 16), "png")
+    png_b = C.encode_image(make_pixels(7, 2, 16, 16), "png")
+    b1 = [
+        ("i1", png_a, "a clear photo of a fox"),
+        ("i2", png_a, "same pixels, different id"),  # within-batch dup of i1
+        ("i3", b"\x00notapng", "broken bytes row"),
+        ("i4", png_b, "x"),  # caption too short
+    ]
+    b2 = [
+        ("i5", png_a, "cross-batch duplicate of i1"),
+        ("i6", png_b, "a second distinct image with caption"),
+    ]
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("caption", StringType()),
+        ]
+    )
+    src = tmp_path / "imgs"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    curated_schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("phash", LongType()),
+            StructField("w", LongType()),
+            StructField("h", LongType()),
+            StructField("caption", StringType()),
+        ]
+    )
+    t_curated = cat.table("curated_imgs", curated_schema)
+    t_seen = cat.table("seen_phashes", StructType([StructField("phash", LongType())]))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            image_pair_stream(stream, t_curated, t_seen)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    got = {r.image_id for r in t_curated.read().collect()}
+    assert got == {"i1", "i6"}, got
+    run("ck2")
+    assert t_curated.read().count() == 2
+    assert t_seen.read().count() == 2
