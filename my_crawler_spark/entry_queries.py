@@ -4149,3 +4149,136 @@ SQL_SITEMAP_PARSE = """
 
 QUERIES["sitemap_parse"] = q_sitemap_parse
 ORACLES["sitemap_parse"] = SQL_SITEMAP_PARSE
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters + soundness (beyond-reference: corpus
+# frequency stats without sorting the vocab)
+# --------------------------------------------------------------------------
+def q_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """CMS-prefiltered heavy hitters: the sketch (never-underestimating)
+    nominates candidates, the exact relation verifies — the oracle is the
+    PLAIN GROUP BY ... HAVING, so a hash-match proves the sketch path
+    semantics-preserving (the salted_agg pattern, applied to a sketch)."""
+    from .operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), threshold=600)
+
+
+SQL_HEAVY_HITTERS = """
+    WITH t AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'),
+               x -> x <> '')) AS term
+      FROM documents)
+    SELECT term, count(*) AS n FROM t GROUP BY term HAVING count(*) >= 600
+"""
+
+
+def q_cms_sound(spark, sf_dir) -> DataFrame:
+    """Count-min guarantee as an empty-violations oracle: no term's sketch
+    estimate may fall below its true count; an empty vocab is itself a
+    violation (vacuous evidence)."""
+    from .operators.sketches import cms_violations
+
+    return cms_violations(_t(spark, sf_dir, "documents"))
+
+
+SQL_CMS_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS VARCHAR) AS term,
+           CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_est
+    WHERE 1 = 0
+"""
+
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+ORACLES["heavy_hitters"] = SQL_HEAVY_HITTERS
+QUERIES["cms_sound"] = q_cms_sound
+ORACLES["cms_sound"] = SQL_CMS_SOUND
+
+
+# --------------------------------------------------------------------------
+# fastText-style linear quality classifier (hashing trick, weights dim,
+# sigmoid gate) — the CCNet/LLaMA-curation model-scoring shape
+# --------------------------------------------------------------------------
+def q_quality_classifier(spark, sf_dir) -> DataFrame:
+    from .operators.textstats import classifier_scores, hash_feature_weights
+
+    return classifier_scores(
+        _t(spark, sf_dir, "documents"), hash_feature_weights(spark)
+    )
+
+
+SQL_QUALITY_CLASSIFIER = """
+    WITH w AS (
+      SELECT printf('%03x', r) AS bucket_hex,
+             CAST((r * 2654435761) % 1000 - 500 AS BIGINT) AS w_milli
+      FROM (SELECT unnest(range(4096)) AS r)),
+    t AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'),
+               x -> x <> '')) AS term
+      FROM documents),
+    b AS (SELECT doc_id, substr(sha256(term), 1, 3) AS bucket_hex FROM t),
+    p AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(w_milli) AS BIGINT) AS sum_milli
+      FROM b JOIN w USING (bucket_hex) GROUP BY doc_id),
+    s AS (
+      SELECT doc_id, n_tokens,
+             round(CAST(sum_milli AS DOUBLE) / (1000.0 * n_tokens), 6) AS logit
+      FROM p)
+    SELECT doc_id, n_tokens, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+    FROM s
+"""
+
+
+QUERIES["quality_classifier"] = q_quality_classifier
+ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC + whitespace/control normalization over a deterministically
+# dirtied corpus — the raw-web text-cleanup stage
+# --------------------------------------------------------------------------
+def q_normalize_corpus(spark, sf_dir) -> DataFrame:
+    """Dirty the fixture text with a decomposed accent (e + U+0301), a BEL
+    control and tab/space runs — all reproduced verbatim in the oracle —
+    then run the normalizer. Hash-match on the normalized text proves the
+    pandas-NFC + codegen-regex pipeline equals DuckDB's nfc_normalize +
+    the same RE2 classes."""
+    from .operators.textstats import normalize_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    noise = F.concat(
+        F.col("text"),
+        F.lit("\t  cafe"),
+        F.lit("e" + chr(0x301)),
+        F.lit("  fin" + chr(0x07) + " "),
+    )
+    noisy = d.select(F.col("doc_id"), noise.alias("text"))
+    return normalize_corpus(noisy)
+
+
+SQL_NORMALIZE_CORPUS = """
+    WITH noisy AS (
+      SELECT doc_id,
+             text || chr(9) || '  cafe' || 'e' || chr(769) || '  fin'
+                  || chr(7) || ' ' AS text
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+      FROM noisy)
+    SELECT doc_id, norm_text, norm_text <> text AS changed FROM cleaned
+"""
+
+
+QUERIES["normalize_corpus"] = q_normalize_corpus
+ORACLES["normalize_corpus"] = SQL_NORMALIZE_CORPUS

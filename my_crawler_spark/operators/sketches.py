@@ -172,3 +172,142 @@ def approx_quantile_violations(
         )
     )
     return bad.unionByName(vacuous)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: heavy hitters without a full-vocab shuffle-and-sort
+# ---------------------------------------------------------------------------
+
+def cms_build(
+    term_counts: DataFrame,
+    term_col: str = "term",
+    count_col: str = "n",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-min sketch over a (term, count) relation -> (d, bucket, n).
+
+    The sketch is depth*width cells no matter the vocab size: each term adds
+    its count to one bucket per hash row (bucket = xxhash64(d, term) % width,
+    pure codegen). At 100 TB the input is the map-side-combined term-count
+    relation, the output is a few-KB table — the only full-size shuffle in
+    the pipeline is the one term groupBy the exact path needs anyway.
+    """
+    rows = term_counts.select(
+        F.col(term_col).alias("term"),
+        F.col(count_col).cast("long").alias("n"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    )
+    return (
+        rows.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("d"), F.col("term")), F.lit(width))
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_estimate(
+    terms: DataFrame,
+    sketch: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query the sketch for each term -> (term, est_n).
+
+    est = min over hash rows of the term's bucket count. Never BELOW the
+    true count (every occurrence landed in each probed bucket); above it
+    only by collision mass. The sketch side is tiny -> broadcast join.
+    """
+    probes = terms.select(F.col(term_col).alias("term")).distinct().select(
+        "term",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("d"), F.col("term")), F.lit(width))
+    )
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").fillna(
+        0, subset=["n"]
+    )
+    return joined.groupBy("term").agg(F.min("n").alias("est_n"))
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: int = 600,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Corpus heavy hitters via CMS prefilter + exact verify
+    -> (term, n) with n >= threshold.
+
+    Plan: one tokenize+explode groupBy for exact counts (map-side combined);
+    CMS built FROM those counts (no second pass over tokens); candidates =
+    est >= threshold (a guaranteed SUPERSET of the true heavy hitters, since
+    CMS never underestimates); exact-verify the candidates. The candidate
+    set is bounded by depth*width cells' worth of mass, so the final filter
+    touches a tiny relation — the pattern that replaces "sort the whole
+    vocab by count" at scale.
+    """
+    from .dedup import tokens
+
+    exact = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sketch = cms_build(exact, depth=depth, width=width)
+    cand = cms_estimate(exact, sketch, depth=depth, width=width).filter(
+        F.col("est_n") >= threshold
+    )
+    return (
+        exact.join(F.broadcast(cand.select("term")), "term")
+        .filter(F.col("n") >= threshold)
+        .select("term", "n")
+    )
+
+
+def cms_violations(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Empty-violations soundness check of the CMS against the exact counts:
+    any term whose sketch estimate is BELOW its true count breaks the
+    count-min guarantee; a zero-term corpus is itself a violation (vacuous
+    evidence). -> (violation, term, n_exact, n_est), always empty on a
+    correct sketch over a non-empty corpus.
+    """
+    from .dedup import tokens
+
+    exact = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sketch = cms_build(exact, depth=depth, width=width)
+    est = cms_estimate(exact, sketch, depth=depth, width=width)
+    bad = (
+        exact.join(est, "term")
+        .filter(F.col("est_n") < F.col("n"))
+        .select(
+            F.lit("underestimate").alias("violation"),
+            F.col("term"),
+            F.col("n").cast("long").alias("n_exact"),
+            F.col("est_n").cast("long").alias("n_est"),
+        )
+    )
+    vacuous = (
+        exact.agg(F.count(F.lit(1)).alias("g"))
+        .where(F.col("g") == 0)
+        .select(
+            F.lit("vacuous_corpus").alias("violation"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("n_exact"),
+            F.lit(None).cast("long").alias("n_est"),
+        )
+    )
+    return bad.unionByName(vacuous)

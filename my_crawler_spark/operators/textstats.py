@@ -15,6 +15,7 @@ All pure column expressions (JVM/codegen) — no UDFs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -295,4 +296,108 @@ def tfidf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "score", "rk")
+    )
+
+
+def hash_feature_weights(spark, dim: int = 4096) -> DataFrame:
+    """Deterministic linear-model weight dim: (bucket_hex, w_milli).
+
+    bucket_hex is the 3-hex-char feature bucket (dim = 16^3); w_milli is an
+    INTEGER weight in millis ((b * 2654435761) % 1000 - 500, Knuth
+    multiplicative constant) so per-doc sums are exact integer arithmetic —
+    order-free across engines and shuffle plans. A real model would load
+    trained weights into the same (bucket, weight) shape.
+    """
+    return spark.range(dim).select(
+        F.lower(F.lpad(F.hex(F.col("id")), 3, "0")).alias("bucket_hex"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(1000)) - F.lit(500))
+        .cast("long")
+        .alias("w_milli"),
+    )
+
+
+def classifier_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """fastText-style linear quality classifier applied at corpus scale
+    -> (doc_id, n_tokens, logit, prob, keep).
+
+    The CCNet/LLaMA-curation shape: hashing-trick featurization (bucket =
+    first 3 hex chars of sha256(token), all codegen), a weights DIM joined
+    in (broadcast at 4096 rows; a 10^7-bucket model shuffle-joins on the
+    bucket key), mean-pooled logit, sigmoid gate. No Python stage anywhere.
+
+    Cross-engine determinism: the pooled sum is INTEGER millis (exact,
+    order-free); logit = round(sum / (1000*n), 6) and prob =
+    round(sigmoid(logit), 6) follow the rounded-input libm rule.
+    """
+    from .dedup import tokens
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).withColumn("bucket_hex", F.substring(F.sha2(F.col("term"), 256), 1, 3))
+    pooled = (
+        tok.join(F.broadcast(weights), "bucket_hex")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("sum_milli"),
+        )
+    )
+    logit = F.round(
+        F.col("sum_milli").cast("double")
+        / (F.lit(1000.0) * F.col("n_tokens").cast("double")),
+        6,
+    )
+    return (
+        pooled.withColumn("logit", logit)
+        .withColumn(
+            "prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)
+        )
+        .withColumn("keep", F.col("prob") >= F.lit(keep_threshold))
+        .select(id_col, "n_tokens", "logit", "prob", "keep")
+    )
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """JVM-side normalization: strip C0 controls (except tab/newline/CR,
+    which are whitespace), collapse ASCII whitespace runs to one space,
+    trim. Explicit char classes, not `\\s` — Java's `\\s` includes \\x0b
+    while RE2's does not, and the DuckDB oracle replays these regexes
+    verbatim. (NFC composition is the Python stage in `normalize_corpus` —
+    there is no JVM NFC expression.)"""
+    stripped = F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    return F.trim(F.regexp_replace(stripped, r"[ \t\n\r]+", " "))
+
+
+def normalize_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC + whitespace/control cleanup for a raw web corpus
+    -> (doc_id, norm_text, changed).
+
+    Control-strip and whitespace-collapse run in codegen; NFC composition
+    is one Arrow-batched pandas_udf (the only step Spark lacks an
+    expression for). Row-local, no shuffle — the map stage fuses into
+    whatever consumes it.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    cleaned = normalize_text(_nfc(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("norm_text"),
+        (cleaned != F.col(text_col)).alias("changed"),
     )

@@ -67,3 +67,38 @@ def test_approx_quantiles_in_exact_band(spark):
     assert abs(got[("g0", 0.5)] - np.percentile(vals, 50)) <= 5.0
     empty = approx_quantile_violations(df.limit(0), ["g"], "v").collect()
     assert [r.violation for r in empty] == ["vacuous_grouping"]
+
+
+# --- count-min sketch -------------------------------------------------------
+
+def _docs(spark):
+    # skewed corpus: "hot" appears 400x, "warm" 50x, tail terms once each
+    rows = [(i, "hot " * 4 + "warm" if i < 100 else f"tail{i} once") for i in range(150)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_cms_never_underestimates_and_heavy_hitters_exact(spark):
+    from my_crawler_spark.operators.sketches import cms_violations, heavy_hitters
+
+    d = _docs(spark)
+    assert cms_violations(d, width=64).count() == 0  # tight width -> collisions, still sound
+    hh = {r.term: r.n for r in heavy_hitters(d, threshold=100).collect()}
+    assert hh == {"hot": 400, "warm": 100}  # "once" (50x) stays below
+    hh2 = {r.term: r.n for r in heavy_hitters(d, threshold=101).collect()}
+    assert hh2 == {"hot": 400}  # threshold is inclusive-boundary exact
+
+
+def test_cms_estimate_collision_overestimates_only(spark):
+    from my_crawler_spark.operators.sketches import cms_build, cms_estimate
+
+    d = _docs(spark)
+    from my_crawler_spark.operators.dedup import tokens
+    exact = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    sk = cms_build(exact, width=16)  # 16 buckets for ~52 terms: heavy collisions
+    est = cms_estimate(exact, sk, width=16)
+    j = exact.join(est, "term").collect()
+    assert all(r.est_n >= r.n for r in j)
+    assert any(r.est_n > r.n for r in j)  # collisions actually exercised

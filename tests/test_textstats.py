@@ -149,3 +149,34 @@ def test_tfidf_top_terms_hand_model(spark):
     assert got[(3, 1)].score == round(2 * idf(1), 6)
     # k bound respected
     assert all(rk <= 2 for _, rk in got)
+
+
+def test_classifier_scores_hand_model(spark):
+    """Two tokens with KNOWN buckets/weights -> exact logit/prob."""
+    import hashlib
+    import math
+
+    w = TS.hash_feature_weights(spark)
+    wmap = {r.bucket_hex: r.w_milli for r in w.collect()}
+    # independently recompute: bucket = first 3 hex of sha256, weight table rule
+    for b, wm in list(wmap.items())[:5]:
+        assert wm == (int(b, 16) * 2654435761) % 1000 - 500
+    docs = spark.createDataFrame([(1, "alpha beta alpha")], ["doc_id", "text"])
+    got = TS.classifier_scores(docs, w).collect()[0]
+    mk = lambda t: wmap[hashlib.sha256(t.encode()).hexdigest()[:3]]
+    s = 2 * mk("alpha") + mk("beta")
+    logit = round(s / (1000.0 * 3), 6)
+    assert got.n_tokens == 3
+    assert got.logit == logit
+    assert got.prob == round(1 / (1 + math.exp(-logit)), 6)
+    assert got.keep == (got.prob >= 0.5)
+
+
+def test_normalize_corpus_nfc_and_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\tb\r\n  c" + chr(7) + " e" + chr(0x301) + " d "), (2, "clean text")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.norm_text, r.changed) for r in TS.normalize_corpus(docs).collect()}
+    assert out[1] == ("a b c é d", True)
+    assert out[2] == ("clean text", False)
