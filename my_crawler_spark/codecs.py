@@ -190,28 +190,47 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
+# Fixed-point DCT basis for phash64: int64, scale 2^16. Integer matmul in
+# numpy never routes to BLAS, so the hash is bit-identical in every process
+# — float dgemm here was observed returning context-dependent results inside
+# forked pyspark workers (the same PNG hashed two ways depending on the
+# Arrow batch shape, flipping cross-batch dedup). Overflow-safe: |D_q| <=
+# 16384, |small_milli| <= 255000 -> step1 <= 1.4e11, step2 <= 7.1e16 << 2^63.
+_DCT32_Q = np.round(_DCT32 * 65536.0).astype(np.int64)
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual hash: gray -> 32x32 area-resample -> 2D DCT-II ->
     top-left 8x8 (excl. DC) median threshold. Signed int64 (parquet-friendly).
+
+    All-integer pipeline (milli-luma, fixed-point DCT basis, integer median
+    compare): a dedup key must hash identically on every executor, and the
+    float version did not (see _DCT32_Q note).
     """
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = gray.shape
+    # exact integer luma: 1000*(0.299 R + 0.587 G + 0.114 B)
+    luma_milli = pixels.astype(np.int64) @ np.array([299, 587, 114], np.int64)
+    h, w = luma_milli.shape
     # area mean resample to 32x32 (handles non-multiples via index binning)
     yi = (np.arange(h) * 32 // h).clip(0, 31)
     xi = (np.arange(w) * 32 // w).clip(0, 31)
-    small = np.zeros((32, 32))
-    counts = np.zeros((32, 32))
-    np.add.at(small, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
-    np.add.at(counts, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
-    small /= np.maximum(counts, 1.0)
-    dct = _DCT32 @ small @ _DCT32.T
-    block = dct[:8, :8].flatten()
-    med = np.median(block[1:])
-    bits = (block > med).astype(np.uint64)
-    val = np.uint64(0)
-    for i in range(64):
-        val = (val << np.uint64(1)) | bits[i]
-    return int(np.int64(val))
+    ssum = np.zeros((32, 32), np.int64)
+    counts = np.zeros((32, 32), np.int64)
+    np.add.at(ssum, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), luma_milli)
+    np.add.at(counts, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1)
+    counts = np.maximum(counts, 1)
+    small_milli = (ssum + counts // 2) // counts  # round-to-nearest int mean
+    dct_q = _DCT32_Q @ small_milli @ _DCT32_Q.T  # int64 end to end
+    block = dct_q[:8, :8].flatten()
+    med = np.median(block[1:])  # middle element of 63 ints: exact
+    # Pack with PYTHON ints, not numpy scalars: pyspark workers run numpy
+    # under a different promotion state than the driver, and the uint64
+    # scalar shift-or loop silently promoted through float64 there —
+    # zeroing the low ~11 bits of the hash (found the hard way: the same
+    # image deduped against itself in-batch but not cross-batch).
+    val = 0
+    for b in block > med:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def hamming64(a: int, b: int) -> int:

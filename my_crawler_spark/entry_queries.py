@@ -2464,8 +2464,10 @@ def q_caption_alignment_sound(spark, sf_dir) -> DataFrame:
                 pdf["image_id"], pdf["bytes"], pdf["caption"]
             ):
                 px = C.decode_image(bytes(data))
-                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                ih, _ = np.histogram(luma, bins=16, range=(0, 256))
+                # integer milli-luma, matching operators.multimodal.image_features
+                # (see codecs._DCT32_Q: float luma is context-sensitive at edges)
+                lm = px.astype(np.int64) @ np.array([299, 587, 114], np.int64)
+                ih, _ = np.histogram(lm, bins=16, range=(0, 256000))
                 iv = ih.astype(np.float32)
                 iv /= iv.sum() or 1.0
                 toks = [t for t in (caption or "").lower().split() if t]
@@ -2607,8 +2609,8 @@ def q_laion_gate_sound(spark, sf_dir) -> DataFrame:
                     rows.append((iid, None, None, len(toks), None, "decode", False))
                     continue
                 h_, w_ = px.shape[0], px.shape[1]
-                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                ih, _ = np.histogram(luma, bins=16, range=(0, 256))
+                lm = px.astype(np.int64) @ np.array([299, 587, 114], np.int64)
+                ih, _ = np.histogram(lm, bins=16, range=(0, 256000))
                 iv = ih.astype(np.float32)
                 iv /= iv.sum() or 1.0
                 th = np.zeros(16, dtype=np.float64)

@@ -84,14 +84,29 @@ def decode_stats(images: DataFrame) -> DataFrame:
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
                     px = codecs.decode_image(bytes(data))
-                    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                    # integer milli-luma: the sum is an exact int64, so the
+                    # mean is one correctly-rounded division — bit-identical
+                    # in every worker (float dgemv here was context-sensitive,
+                    # see codecs._DCT32_Q)
+                    lm = px.astype(np.int64) @ np.array([299, 587, 114], np.int64)
                     rows.append(
-                        (iid, px.shape[1], px.shape[0], float(luma.mean()),
+                        (iid, px.shape[1], px.shape[0],
+                         float(int(lm.sum())) / (1000.0 * lm.size),
                          codecs.phash64(px), True)
                     )
                 except Exception:
                     rows.append((iid, None, None, None, None, False))
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_STATS_SCHEMA.fields])
+            cols = [f.name for f in DECODE_STATS_SCHEMA.fields]
+            out = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+            # Explicit nullable Int64 for the hash: pd.DataFrame(rows) infers
+            # float64 for an int column containing any None (undecodable
+            # row), silently zeroing the low ~11 bits of EVERY phash in the
+            # Arrow batch — the same image then deduped within a batch but
+            # not across batches. w/h are Int64 too (exact anyway, but the
+            # declared schema is long).
+            for c in ("w", "h", "phash"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield pd.DataFrame(out, columns=cols)
 
     return images.select("image_id", "bytes").mapInPandas(run, DECODE_STATS_SCHEMA)
 
@@ -201,8 +216,10 @@ def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
             rows = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 px = codecs.decode_image(bytes(data))
-                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                hist, _ = np.histogram(luma, bins=bins, range=(0, 256))
+                # integer milli-luma + integer bin edges: no value can sit
+                # on a context-sensitive float boundary (see codecs._DCT32_Q)
+                lm = px.astype(np.int64) @ np.array([299, 587, 114], np.int64)
+                hist, _ = np.histogram(lm, bins=bins, range=(0, 256000))
                 v = hist.astype(np.float32)
                 v /= v.sum() or 1.0
                 rows.append((iid, v))

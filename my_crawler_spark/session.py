@@ -27,6 +27,18 @@ def get_spark(
     ``shuffle_partitions`` is an upper bound, not a tuning hazard: at
     cluster scale set it to ~2-3x total cores and let AQE coalesce.
     """
+    # Single-threaded BLAS in every Python process of this session's tree.
+    # Spark supplies the parallelism (one worker per core); a threaded
+    # OpenBLAS inside forked workers both oversubscribes the host AND is a
+    # correctness hazard: workers fork from the pyspark daemon, and a
+    # multi-threaded OpenBLAS GEMM in a forked child intermittently
+    # computed wrong tail blocks here (observed: the same PNG's DCT phash
+    # flipping 6 low bits in some worker processes — margin 0.25, far
+    # beyond float noise). Env must be set before the JVM (and thus the
+    # daemon) spawns; worker numpy imports read it post-fork.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+               "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     b = (

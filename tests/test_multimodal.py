@@ -262,3 +262,27 @@ def test_aspect_buckets_nearest_and_shuffle_free(spark):
     plan = assign_aspect_buckets(df)._jdf.queryExecution().executedPlan().toString()
     for marker in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_decode_stats_phash_invariant_to_batch_composition(spark):
+    """An undecodable row in the batch must not perturb its neighbours'
+    hashes: pd.DataFrame(rows) used to infer float64 for the phash column
+    whenever a None (failed decode) was present, zeroing the low ~11 bits
+    of every hash in that Arrow batch (same image deduped within a batch
+    but not across batches). Also pins driver==worker equality, which the
+    numpy-scalar packing loop broke under the worker's promotion state."""
+    from my_crawler_spark import codecs as C
+    from my_crawler_spark.fixtures import make_pixels
+    from my_crawler_spark.operators.multimodal import decode_stats
+
+    png = C.encode_image(make_pixels(7, 1, 16, 16), "png")
+    expected = C.phash64(C.decode_image(png))  # driver-side truth
+    mixed = spark.createDataFrame(
+        [("a", png), ("broken", b"\x00notapng"), ("b", png)],
+        "image_id string, bytes binary",
+    ).coalesce(1)
+    clean = spark.createDataFrame([("c", png)], "image_id string, bytes binary")
+    got_mixed = {r.image_id: r.phash for r in decode_stats(mixed).collect()}
+    got_clean = decode_stats(clean).collect()[0].phash
+    assert got_mixed["broken"] is None
+    assert got_mixed["a"] == got_mixed["b"] == got_clean == expected
