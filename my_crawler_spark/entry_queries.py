@@ -4284,3 +4284,67 @@ SQL_NORMALIZE_CORPUS = """
 
 QUERIES["normalize_corpus"] = q_normalize_corpus
 ORACLES["normalize_corpus"] = SQL_NORMALIZE_CORPUS
+
+
+# --------------------------------------------------------------------------
+# Freshness-aware recrawl scheduling (beyond-reference, crawl tier):
+# Cho & Garcia-Molina change-rate estimation over a visit log synthesized
+# deterministically from events (page = user_id % 200, signature =
+# floor(2*value) so revisits flip signatures at a per-page rate)
+# --------------------------------------------------------------------------
+_RECRAWL_NOW_US = 1_706_680_632_000_000  # log-end + 6h: 93 due / 57 not-due at sf0.01
+
+
+def q_recrawl_schedule(spark, sf_dir) -> DataFrame:
+    from .operators.recrawl import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    visits = ev.select(
+        F.pmod(F.col("user_id"), F.lit(200)).alias("page_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        F.floor(F.col("value") * 2).cast("long").alias("sig"),
+        F.col("event_id").alias("visit_id"),
+    )
+    return recrawl_schedule(visits, now=_RECRAWL_NOW_US)
+
+
+SQL_RECRAWL_SCHEDULE = f"""
+    WITH v AS (
+      SELECT user_id % 200 AS page_id,
+             epoch_us(ts) AS ts,
+             CAST(floor(value * 2) AS BIGINT) AS sig,
+             event_id AS visit_id
+      FROM events),
+    m AS (
+      SELECT *, lag(sig) OVER (PARTITION BY page_id ORDER BY ts, visit_id)
+               AS prev
+      FROM v),
+    h AS (
+      SELECT page_id, count(*) AS n_visits,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND sig <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM m GROUP BY page_id),
+    s AS (
+      SELECT page_id, n_visits, n_changes, last_ts,
+             round((CAST(n_changes AS DOUBLE) + 0.5)
+                   / (CAST(last_ts - first_ts AS DOUBLE) / 86400000000.0 + 1.0),
+                   6) AS rate_per_day
+      FROM h),
+    i AS (
+      SELECT *, round(least(greatest(1.0 / rate_per_day, 0.25), 30.0), 6)
+               AS interval_days
+      FROM s),
+    d AS (
+      SELECT *, last_ts + CAST(floor(86400000000.0 * interval_days) AS BIGINT)
+               AS next_due
+      FROM i)
+    SELECT page_id, n_visits, n_changes, rate_per_day, interval_days, next_due,
+           {_RECRAWL_NOW_US} - next_due AS overdue,
+           ({_RECRAWL_NOW_US} - next_due) >= 0 AS due_now
+    FROM d
+"""
+
+
+QUERIES["recrawl_schedule"] = q_recrawl_schedule
+ORACLES["recrawl_schedule"] = SQL_RECRAWL_SCHEDULE
