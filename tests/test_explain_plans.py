@@ -249,3 +249,26 @@ def test_semdedup_centroid_pick_is_distributed_topk(spark):
     )
     plan = semdedup(emb, n_lists=4)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_classifier_and_heavy_hitters_stay_jvm_side(spark):
+    """The linear classifier and the CMS heavy-hitters path are pure
+    relational plans: hashing-trick buckets/sketch hashes in codegen, the
+    weights/sketch dims broadcast, zero Python eval nodes."""
+    from my_crawler_spark.operators.sketches import heavy_hitters
+    from my_crawler_spark.operators.textstats import (
+        classifier_scores,
+        hash_feature_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)], ["doc_id", "text"]
+    )
+    for df in (
+        classifier_scores(docs, hash_feature_weights(spark)),
+        heavy_hitters(docs, threshold=10),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{node} in plan"
+        assert "BroadcastExchange" in plan  # weights / sketch dim broadcast
