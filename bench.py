@@ -207,7 +207,7 @@ def bench_queries(spark, sf_dir) -> dict[str, float]:
         "dedup_clusters", "corpus_curation", "caption_alignment",
         "perplexity_bucket", "scrub_spans", "semdedup",
         "hard_negatives", "aspect_buckets", "perplexity_bigram",
-        "quality_classifier", "recrawl_schedule",
+        "quality_classifier", "recrawl_schedule", "dedup_paragraphs",
     ]:
         t0 = time.time()
         n = EQ.QUERIES[name](spark, sf_dir).count()

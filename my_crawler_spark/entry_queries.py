@@ -4348,3 +4348,169 @@ SQL_RECRAWL_SCHEDULE = f"""
 
 QUERIES["recrawl_schedule"] = q_recrawl_schedule
 ORACLES["recrawl_schedule"] = SQL_RECRAWL_SCHEDULE
+
+
+# --- anchor-text aggregation over the link graph ---------------------------
+
+_ANCHOR_LEXICON = [
+    "home", "pricing", "docs", "blog", "contact", "about", "login", "download",
+]
+
+
+def q_anchor_text(spark, sf_dir) -> DataFrame:
+    """Per-target anchor-text profiles (graph.py::anchor_text_profiles) over
+    a deterministic link graph derived from events: the signal web search
+    ranks on and supervision-pair mining reads (reference ranks only by an
+    external list, ranking.rs:79-82 — owning the graph makes this free)."""
+    from .operators.graph import anchor_text_profiles
+
+    ev = _t(spark, sf_dir, "events")
+    lex = F.array(*[F.lit(a) for a in _ANCHOR_LEXICON])
+    links = ev.select(
+        F.pmod(F.col("user_id"), F.lit(500)).alias("src"),
+        F.pmod(F.col("user_id") * 7 + F.col("event_id") * 13, F.lit(200)).alias(
+            "dst"
+        ),
+        F.element_at(lex, (F.pmod(F.col("event_id"), F.lit(8)) + 1).cast("int")).alias(
+            "anchor"
+        ),
+    )
+    return anchor_text_profiles(links)
+
+
+SQL_ANCHOR_TEXT = """
+    WITH links AS (
+      SELECT user_id % 500 AS src,
+             (user_id * 7 + event_id * 13) % 200 AS dst,
+             (['home','pricing','docs','blog','contact','about','login',
+               'download'])[CAST(event_id % 8 AS INT) + 1] AS anchor
+      FROM events),
+    pa AS (
+      SELECT dst, anchor, count(*) AS links
+      FROM links GROUP BY dst, anchor),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY dst
+                                   ORDER BY links DESC, anchor) AS rn
+      FROM pa)
+    SELECT dst,
+           CAST(sum(links) AS BIGINT) AS n_links,
+           count(*) AS n_anchors,
+           max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+           max(CASE WHEN rn = 1 THEN links END) AS top_anchor_links,
+           string_agg(anchor, '|' ORDER BY anchor) AS anchors
+    FROM r GROUP BY dst
+"""
+
+
+QUERIES["anchor_text"] = q_anchor_text
+ORACLES["anchor_text"] = SQL_ANCHOR_TEXT
+
+
+# --- crawl-budget allocation (Hamilton largest remainder) -------------------
+
+_BUDGET_TOTAL = 10_000
+
+
+def q_host_budget(spark, sf_dir) -> DataFrame:
+    """Largest-remainder split of a global fetch budget across hosts
+    (ranking.py::allocate_host_budget), weights = per-host demand counts
+    from orders. Exact integer apportionment; the global remainder rank is
+    computed by the range-partitioned global_rank primitive — no
+    single-task window anywhere in the plan."""
+    from .operators.ranking import allocate_host_budget
+
+    orders = _t(spark, sf_dir, "orders")
+    hosts = orders.groupBy(
+        F.pmod(F.col("o_custkey"), F.lit(300)).alias("host")
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return allocate_host_budget(hosts, _BUDGET_TOTAL)
+
+
+SQL_HOST_BUDGET = f"""
+    WITH w AS (
+      SELECT o_custkey % 300 AS host, count(*) AS weight
+      FROM orders GROUP BY 1),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+    q AS (
+      SELECT host, weight,
+             CAST(({_BUDGET_TOTAL} * weight) // tw AS BIGINT) AS base_quota,
+             CAST(({_BUDGET_TOTAL} * weight) % tw AS BIGINT) AS remainder
+      FROM w, t),
+    l AS (SELECT {_BUDGET_TOTAL} - CAST(sum(base_quota) AS BIGINT) AS extra
+          FROM q),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, host) AS rank
+      FROM q)
+    SELECT host, weight, base_quota, remainder, rank,
+           CAST(base_quota + CASE WHEN rank <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated
+    FROM r, l
+"""
+
+
+QUERIES["host_budget"] = q_host_budget
+ORACLES["host_budget"] = SQL_HOST_BUDGET
+
+
+# --- CCNet paragraph-level corpus dedup -------------------------------------
+
+
+def q_dedup_paragraphs(spark, sf_dir) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (dedup.py::dedup_paragraphs)
+    over documents rebuilt with planted boilerplate: one global cookie
+    banner (500x duplicated), a per-source footer, and two body slices.
+    Exactly one copy of each repeated paragraph survives (first by
+    (doc_id, pos)); every body-unique paragraph is kept."""
+    from .operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Cookie notice: please accept our cookies."),
+            F.substring(F.col("text"), 1, 120),
+            F.concat(F.lit("Footer for source "), F.col("source")),
+            F.substring(F.col("text"), 121, 80),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(built)
+
+
+SQL_DEDUP_PARAGRAPHS = """
+    WITH built AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+                       'Cookie notice: please accept our cookies.',
+                       substr(text, 1, 120),
+                       'Footer for source ' || source,
+                       substr(text, 121, 80)) AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+                    len(string_split(text, chr(10))) - 1)) AS pos,
+             unnest(string_split(text, chr(10))) AS para
+      FROM built),
+    keyed AS (
+      SELECT doc_id, pos, para,
+             md5(trim(regexp_replace(regexp_replace(lower(para),
+                      '[0-9]', '', 'g'), '[ \t\f\r\n]+', ' ', 'g'))) AS h
+      FROM split
+      WHERE trim(regexp_replace(regexp_replace(lower(para),
+                 '[0-9]', '', 'g'), '[ \t\f\r\n]+', ' ', 'g')) <> ''),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY h
+                                   ORDER BY doc_id, pos) AS rn
+      FROM keyed)
+    SELECT doc_id,
+           count(*) AS n_paragraphs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                               chr(10) ORDER BY pos), '') AS clean_text
+    FROM ranked GROUP BY doc_id
+"""
+
+
+QUERIES["dedup_paragraphs"] = q_dedup_paragraphs
+ORACLES["dedup_paragraphs"] = SQL_DEDUP_PARAGRAPHS

@@ -759,3 +759,67 @@ def hard_negative_pairs(
         .filter(F.col("rk") <= k)
         .select("anchor_id", "negative_id", "jaccard", "rk")
     )
+
+
+def paragraph_norm(col) -> F.Column:
+    """CCNet's dedup key normalization (Wenzek et al. 2020, §3.1): the
+    paragraph lowercased, digits removed, whitespace collapsed, trimmed —
+    so '2024 Privacy Policy.' and '2019  privacy policy.' share one key."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[0-9]", ""), r"[ \t\f\r\n]+", " "
+        )
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020): split
+    each document on newlines, hash every paragraph's normalized form, keep
+    only the FIRST corpus occurrence of each hash (ordered by (doc_id,
+    position)), and reassemble the surviving paragraphs in document order.
+    This is the pass that strips boilerplate — cookie banners, nav bars,
+    footer legalese — that repeats verbatim across a host's pages.
+
+    Paragraphs whose normalized form is empty (blank lines, digit-only
+    lines) carry no dedup signal and are dropped outright.
+
+    -> (doc_id, n_paragraphs, n_kept, clean_text); documents that lose
+    every paragraph still appear (clean_text = '').
+
+    Plan shape: posexplode (linear), ONE row_number window partitioned by
+    the paragraph hash (skew = the duplication multiplicity of a single
+    boilerplate string — the exact quantity this op exists to bound), one
+    groupBy(doc) reassembly with array_sort(collect_list(struct(pos,
+    para))) preserving order. Nothing global, nothing driver-side.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "para"),
+    ).withColumn("norm", paragraph_norm(F.col("para")))
+    keyed = paras.filter(F.col("norm") != "").withColumn(
+        "h", F.md5(F.col("norm"))
+    )
+    w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+    kept = keyed.withColumn("rn", F.row_number().over(w))
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("pos", "para")
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return per_doc

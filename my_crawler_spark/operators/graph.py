@@ -84,3 +84,50 @@ def pagerank(
         return spark.read.parquet(f"{ckpt}/it{iters}").select("node", "rank")
     finally:
         e.unpersist()
+
+
+def anchor_text_profiles(
+    links: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text profile over the link graph.
+
+    -> (dst, n_links, n_anchors, top_anchor, top_anchor_links, anchors):
+    how other pages describe each target — the signal classic web search
+    indexes alongside body text and a training-data pipeline mines for
+    (query, document) supervision pairs. The reference ranks only by an
+    external popularity list (ranking.rs:79-82); owning the link graph
+    makes the anchor corpus a one-aggregation byproduct of the crawl.
+
+    top_anchor is the most frequent anchor string for the target (ties ->
+    lexicographically smallest), decided by an explicit row_number so both
+    engines agree; `anchors` is the '|'-joined sorted distinct-anchor list.
+
+    Plan shape: groupBy(dst, anchor) shuffles once on the pair key; the
+    row_number window and the final groupBy both cluster by dst, so
+    Catalyst inserts ONE more Exchange(dst) shared by both — two shuffles
+    total, no global window, nothing driver-side at any graph size.
+    """
+    from pyspark.sql import Window
+
+    per_anchor = links.groupBy(
+        F.col(dst).alias("dst"), F.col(anchor).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("links"))
+    w = Window.partitionBy("dst").orderBy(F.desc("links"), F.asc("anchor"))
+    return (
+        per_anchor.withColumn("rn", F.row_number().over(w))
+        .groupBy("dst")
+        .agg(
+            F.sum("links").alias("n_links"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("rn") == 1, F.col("links"))).alias(
+                "top_anchor_links"
+            ),
+            F.array_join(F.array_sort(F.collect_list("anchor")), "|").alias(
+                "anchors"
+            ),
+        )
+    )
