@@ -4514,3 +4514,38 @@ SQL_DEDUP_PARAGRAPHS = """
 
 QUERIES["dedup_paragraphs"] = q_dedup_paragraphs
 ORACLES["dedup_paragraphs"] = SQL_DEDUP_PARAGRAPHS
+
+
+# --- size-balanced shard assignment ------------------------------------------
+
+_N_SHARDS = 8
+
+
+def q_balanced_shards(spark, sf_dir) -> DataFrame:
+    """Size-balanced training-shard planning (sampling.py::balanced_shards):
+    exact global size rank (range-partitioned — no single-task window) +
+    serpentine round-robin, so shard byte totals differ by at most one
+    item per pass."""
+    from .operators.sampling import balanced_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = balanced_shards(docs, _N_SHARDS, size_col="n_chars", id_col="doc_id")
+    return out.select("doc_id", "n_chars", "rank", "shard")
+
+
+SQL_BALANCED_SHARDS = f"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents)
+    SELECT doc_id, n_chars, rank,
+           CAST(CASE WHEN ((rank - 1) // {_N_SHARDS}) % 2 = 0
+                     THEN (rank - 1) % {_N_SHARDS}
+                     ELSE {_N_SHARDS - 1} - ((rank - 1) % {_N_SHARDS})
+                END AS INT) AS shard
+    FROM r
+"""
+
+
+QUERIES["balanced_shards"] = q_balanced_shards
+ORACLES["balanced_shards"] = SQL_BALANCED_SHARDS

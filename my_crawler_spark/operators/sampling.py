@@ -216,3 +216,41 @@ def pack_sequences(
         (lo - F.col("seq_id") * L).cast("long").alias("tok_start"),
         (hi - F.col("seq_id") * L).cast("long").alias("tok_end"),
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    size_col: str = "n_bytes",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign rows to `n_shards` output shards with near-equal total size —
+    the planning step before a training-data writer emits shard files a
+    dataloader can stream round-robin without stragglers.
+
+    Strategy: exact global rank by (size desc, id asc) via
+    `ranking.global_rank` (range repartition — NO single-task window), then
+    boustrophedon (serpentine) round-robin: rank r -> shard r%S on even
+    passes, S-1-r%S on odd passes. Big items spread first, each subsequent
+    pass compensates the previous pass's ordering, so shard totals differ
+    by at most one item of each pass — the classic sorted-serpentine bound
+    (max - min <= largest item), deterministic, one pass, no greedy
+    driver-side bin packing.
+
+    -> input columns + (rank, shard). Σ per-shard sizes are asserted
+    near-equal in tests; the assignment is a pure function of the data.
+    """
+    from .ranking import global_rank
+
+    ranked = global_rank(
+        df, [F.desc(size_col), F.asc(id_col)], rank_col="rank"
+    )
+    r0 = F.col("rank") - 1  # 0-based
+    pass_idx = F.floor(r0 / F.lit(n_shards))
+    pos = F.pmod(r0, F.lit(n_shards))
+    return ranked.withColumn(
+        "shard",
+        F.when(F.pmod(pass_idx, F.lit(2)) == 0, pos)
+        .otherwise(F.lit(n_shards - 1) - pos)
+        .cast("int"),
+    )

@@ -132,3 +132,31 @@ def test_dedup_paragraphs_blank_lines_dropped_and_empty_doc_survives(spark):
     assert out[1]["n_paragraphs"] == 1 and out[1]["n_kept"] == 1
     # doc 2's only paragraph is a corpus dup -> doc still appears, empty
     assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+
+
+def test_balanced_shards_serpentine_balance(spark):
+    """Shard totals under serpentine assignment stay within one max-item of
+    each other, and every row lands in exactly one shard."""
+    from my_crawler_spark.operators.sampling import balanced_shards
+
+    rows = [(i, ((i * 131) % 997) + 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    out = balanced_shards(df, 8)
+    per = {
+        r["shard"]: r["total"]
+        for r in out.groupBy("shard")
+        .agg(F.sum("n_bytes").alias("total"))
+        .collect()
+    }
+    assert sorted(per) == list(range(8))
+    assert out.count() == 400
+    max_item = max(s for _, s in rows)
+    assert max(per.values()) - min(per.values()) <= max_item
+    # spot-check the serpentine rule on the first two passes
+    first16 = {
+        r["rank"]: r["shard"]
+        for r in out.filter(F.col("rank") <= 16).collect()
+    }
+    assert [first16[r] for r in range(1, 17)] == list(range(8)) + list(
+        range(7, -1, -1)
+    )
