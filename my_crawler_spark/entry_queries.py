@@ -4549,3 +4549,59 @@ SQL_BALANCED_SHARDS = f"""
 
 QUERIES["balanced_shards"] = q_balanced_shards
 ORACLES["balanced_shards"] = SQL_BALANCED_SHARDS
+
+
+# --- inverted-index postings build -------------------------------------------
+
+_POSTINGS_CAP = 5
+
+
+def q_inverted_postings(spark, sf_dir) -> DataFrame:
+    """Impact-ordered inverted-index build (search.py::inverted_postings)
+    with static top-5 pruning; posting lists serialized 'doc:tf,...' so the
+    cross-engine hash sees identical bytes."""
+    from .operators.search import inverted_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = inverted_postings(docs, max_postings=_POSTINGS_CAP)
+    return idx.select(
+        "term",
+        "df",
+        "total_tf",
+        F.array_join(
+            F.transform(
+                F.col("postings"),
+                lambda s: F.concat_ws(":", s["doc"].cast("string"), s["tf"].cast("string")),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+SQL_INVERTED_POSTINGS = f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-zA-Z0-9]+'), x -> x <> '')) AS term
+      FROM documents),
+    tf AS (
+      SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc),
+    stats AS (
+      SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY term),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc) AS rn
+      FROM tf),
+    lists AS (
+      SELECT term,
+             string_agg(doc || ':' || tf, ',' ORDER BY tf DESC, doc)
+               AS postings
+      FROM ranked WHERE rn <= {_POSTINGS_CAP} GROUP BY term)
+    SELECT s.term, s.df, s.total_tf, l.postings
+    FROM stats s JOIN lists l USING (term)
+"""
+
+
+QUERIES["inverted_postings"] = q_inverted_postings
+ORACLES["inverted_postings"] = SQL_INVERTED_POSTINGS

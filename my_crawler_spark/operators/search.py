@@ -332,3 +332,55 @@ def is_searchable_page(url: Column) -> Column:
 def exact_count(df: DataFrame) -> int:
     """R3 (main.rs:303-316): exact point count."""
     return df.count()
+
+
+def inverted_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 0,
+) -> DataFrame:
+    """Build the inverted index the search side reads: one row per term with
+    its document frequency, total term frequency, and the posting list as an
+    array of (doc_id, tf) structs ordered by tf DESC (impact order, doc_id
+    breaking ties) — the layout that lets a top-k scorer early-terminate.
+
+    `max_postings` > 0 prunes each list to its top-N impacts (static index
+    pruning, Carmel et al. 2001); df/total_tf still count the FULL corpus so
+    scoring stays unbiased — only the tail of each list is dropped.
+
+    Plan shape: explode -> groupBy(term, doc) tf -> [optional per-term
+    window top-N] -> groupBy(term) array_sort(collect_list(...)). The
+    (term, doc) agg shuffles once on the pair key; the window and the final
+    agg share one Exchange(term). Postings arrays are bounded by
+    max_postings at scale — an UNPRUNED hot term ("the") would make a
+    gigarow array, which is exactly why the cap exists; tests pin both
+    modes. Impact order inside the array comes from array_sort over
+    (-tf, doc_id) keys, so no per-group sort task.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    kept = tf
+    if max_postings > 0:
+        w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc"))
+        kept = (
+            tf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_postings)
+            .drop("__rn")
+        )
+    lists = kept.groupBy("term").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("tf")).alias("neg"), F.col("doc")))
+            ),
+            lambda s: F.struct(s["doc"].alias("doc"), (-s["neg"]).alias("tf")),
+        ).alias("postings")
+    )
+    return stats.join(lists, "term").select("term", "df", "total_tf", "postings")

@@ -125,3 +125,35 @@ def test_plagiarism_threshold(spark):
     )
     got = S.plagiarism_check(emb, [1.0, 0.0], threshold=0.6).collect()
     assert {r.vec_id for r in got} == {1, 2}
+
+
+def test_inverted_postings_impact_order_and_pruning(spark):
+    from my_crawler_spark.operators.search import inverted_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana banana"),
+            (3, "apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {r["term"]: r.asDict() for r in inverted_postings(docs).collect()}
+    assert full["apple"]["df"] == 3 and full["apple"]["total_tf"] == 5
+    # impact order: tf desc, doc asc on ties
+    assert [(p["doc"], p["tf"]) for p in full["apple"]["postings"]] == [
+        (1, 3),
+        (2, 1),
+        (3, 1),
+    ]
+    assert [(p["doc"], p["tf"]) for p in full["banana"]["postings"]] == [
+        (2, 2),
+        (1, 1),
+    ]
+    pruned = {
+        r["term"]: r.asDict()
+        for r in inverted_postings(docs, max_postings=1).collect()
+    }
+    # stats still see the FULL corpus; only the list tail is cut
+    assert pruned["apple"]["df"] == 3 and pruned["apple"]["total_tf"] == 5
+    assert [(p["doc"], p["tf"]) for p in pruned["apple"]["postings"]] == [(1, 3)]
