@@ -4605,3 +4605,62 @@ SQL_INVERTED_POSTINGS = f"""
 
 QUERIES["inverted_postings"] = q_inverted_postings
 ORACLES["inverted_postings"] = SQL_INVERTED_POSTINGS
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+_DSIR_K = 100
+
+
+def q_dsir_select(spark, sf_dir) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, operators/dsir.py): pick the 100
+    raw documents whose hashed-ngram features look most like the English
+    target slice, via deterministic Gumbel-top-k over importance weights."""
+    from .operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, k=_DSIR_K).select(
+        "doc_id", F.col("n_terms").cast("long").alias("n_terms"), "log_w", "sel_key"
+    )
+
+
+SQL_DSIR_SELECT = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{{L}}]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    terms AS (
+      SELECT doc_id, lang,
+             unnest(toks || [toks[i] || ' ' || toks[i + 1]
+                             for i in range(1, len(toks))]) AS term
+      FROM t),
+    occ AS (
+      SELECT doc_id, lang, substr(sha256(term), 1, 2) AS bucket FROM terms),
+    rc AS (SELECT bucket, count(*) AS rc FROM occ GROUP BY bucket),
+    tc AS (SELECT bucket, count(*) AS tc FROM occ WHERE lang = 'en'
+           GROUP BY bucket),
+    tot AS (SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM rc) AS r_total,
+                   (SELECT CAST(sum(tc) AS DOUBLE) FROM tc) AS t_total),
+    lam AS (
+      SELECT rc.bucket,
+             round(ln(coalesce(tc.tc, 0) + 1.0) - ln(t_total + 256.0)
+                 - ln(rc.rc + 1.0) + ln(r_total + 256.0), 9) AS lam
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+    w AS (
+      SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             round(sum(lam), 6) AS log_w
+      FROM occ JOIN lam USING (bucket) GROUP BY occ.doc_id)
+    SELECT doc_id, n_terms, log_w,
+           round(log_w + round(-ln(-ln(
+             (CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) + 0.5) / power(16, 12))), 9), 6) AS sel_key
+    FROM w
+    ORDER BY sel_key DESC, doc_id
+    LIMIT {_DSIR_K}
+"""
+
+
+QUERIES["dsir_select"] = q_dsir_select
+ORACLES["dsir_select"] = SQL_DSIR_SELECT
