@@ -4664,3 +4664,70 @@ SQL_DSIR_SELECT = f"""
 
 QUERIES["dsir_select"] = q_dsir_select
 ORACLES["dsir_select"] = SQL_DSIR_SELECT
+
+
+# --- C4 blocklist filter + E-S weighted sampling ------------------------------
+
+_BLOCKWORDS = ["slow", "dup", "spam"]  # present-common, present-rare, absent
+
+
+def q_blocklist_filter(spark, sf_dir) -> DataFrame:
+    """C4-style badwords gate (textstats.py::blocklist_stats): per-doc
+    blocked-token occurrence counts, the matched terms, and the keep flag."""
+    from .operators.textstats import blocklist_stats
+
+    return blocklist_stats(_t(spark, sf_dir, "documents"), _BLOCKWORDS)
+
+
+SQL_BLOCKLIST_FILTER = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_filter(toks, x -> list_contains(['slow', 'dup', 'spam'], x))
+               AS hits
+      FROM t)
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_hits,
+           coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '')
+             AS matched,
+           len(hits) = 0 AS keep
+    FROM h
+"""
+
+
+QUERIES["blocklist_filter"] = q_blocklist_filter
+ORACLES["blocklist_filter"] = SQL_BLOCKLIST_FILTER
+
+
+_WSAMPLE_K = 100
+
+
+def q_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Efraimidis-Spirakis deterministic weighted sampling without
+    replacement (sampling.py::weighted_sample): 100 documents drawn
+    proportional to n_chars, reproducibly (keys from sha256(doc_id))."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=_WSAMPLE_K)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+    SELECT doc_id, n_chars,
+           round(round(-ln(
+             (CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) + 0.5) / power(16, 12)), 9)
+             / CAST(n_chars AS DOUBLE), 9) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key, doc_id
+    LIMIT {_WSAMPLE_K}
+"""
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE

@@ -38,8 +38,6 @@ from pyspark.sql import functions as F
 
 from .dedup import ngrams_from_tokens, tokens
 
-_GUMBEL_HEX = 12  # 48 bits: exact in double after /2^48
-
 
 def hashed_term_buckets(
     docs: DataFrame,
@@ -135,11 +133,9 @@ def gumbel_key(id_col) -> F.Column:
     """Deterministic standard-Gumbel draw from sha256(id): u = (h48 + 0.5) /
     2^48 in (0,1), g = -ln(-ln(u)). Exact cross-engine: the 48-bit value and
     the division are exact doubles; the two ln() calls are rounded at 9dp."""
-    v = F.conv(
-        F.substring(F.sha2(id_col.cast("string"), 256), 1, _GUMBEL_HEX), 16, 10
-    ).cast("double")
-    u = (v + F.lit(0.5)) / F.lit(float(16**_GUMBEL_HEX))
-    return F.round(-F.log(-F.log(u)), 9)
+    from .sampling import hash_unit
+
+    return F.round(-F.log(-F.log(hash_unit(id_col))), 9)
 
 
 def dsir_select(

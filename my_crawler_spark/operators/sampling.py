@@ -254,3 +254,40 @@ def balanced_shards(
         .otherwise(F.lit(n_shards - 1) - pos)
         .cast("int"),
     )
+
+
+def hash_unit(col) -> F.Column:
+    """Exact uniform double in (0,1) from sha256(col): (48-bit hex prefix +
+    0.5) / 2^48. Every step is exact in binary64 (48 < 53 mantissa bits,
+    division by a power of two), so Spark and the DuckDB oracle produce the
+    bit-identical double — the primitive under dsir.gumbel_key and
+    weighted_sample."""
+    v = F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 12), 16, 10).cast(
+        "double"
+    )
+    return (v + F.lit(0.5)) / F.lit(float(1 << 48))
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-Res): each row draws u from sha256(key), gets reservoir
+    key -ln(u)/w, and the k SMALLEST keys win — exactly the distribution of
+    sequential weighted draws without replacement, but embarrassingly
+    parallel and reproducible (the draw is a pure function of the data, so
+    retries/engines/cluster sizes agree; same design as hash_sample).
+
+    Non-positive weights are excluded (zero weight = never sampled; E-S is
+    undefined there). -ln(u) is rounded 9dp (libm discipline), the division
+    by w is one IEEE op on identical doubles, and the emitted key is rounded
+    9dp. orderBy().limit(k) compiles to TakeOrderedAndProject — distributed
+    per-partition heaps, no global sort."""
+    u = hash_unit(F.col(key_col))
+    es = F.round(F.round(-F.log(u), 9) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", es)
+        .orderBy(F.asc("es_key"), F.col(key_col))
+        .limit(k)
+    )

@@ -401,3 +401,33 @@ def normalize_corpus(
         cleaned.alias("norm_text"),
         (cleaned != F.col(text_col)).alias("changed"),
     )
+
+
+def blocklist_stats(
+    docs: DataFrame,
+    blockwords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style badwords gate (Raffel et al. 2020 §2.2: drop any page
+    containing a word from a blocklist). Emits per-doc evidence instead of
+    silently dropping: (id, n_hits = total blocked-token OCCURRENCES,
+    matched = sorted csv of distinct blocked tokens, keep = n_hits == 0) —
+    the apply step is `.filter("keep")`.
+
+    The blocklist is token-level (the word-boundary tokenizer shared with
+    lang-id/dedup) and compiled INTO the expression as an array literal —
+    real-world lists are a few thousand words, far below literal-plan
+    limits, so there is no join, no broadcast build, no shuffle: a pure
+    projection that scales like the scan itself."""
+    from .dedup import tokens
+
+    block = F.array(*[F.lit(w) for w in blockwords])
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    hits = F.filter(F.col("_toks"), lambda t: F.array_contains(block, t))
+    return toked.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("matched"),
+        (F.size(hits) == 0).alias("keep"),
+    )

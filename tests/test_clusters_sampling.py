@@ -181,3 +181,31 @@ def test_pack_sequences(spark):
         (3, 1, 7, 8),
         (3, 2, 0, 3),
     ]
+
+
+def test_weighted_sample_matches_python_twin_and_is_weight_monotone(spark):
+    import hashlib
+    import math
+
+    from my_crawler_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)] + [(900, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def es_key(i, w):
+        u = (int(hashlib.sha256(str(i).encode()).hexdigest()[:12], 16) + 0.5) / 2**48
+        return round(round(-math.log(u), 9) / w, 9)
+
+    want = sorted(((es_key(i, w), i) for i, w in rows if w > 0))[:20]
+    got = weighted_sample(df, "id", "w", 20).collect()
+    assert [(r["es_key"], r["id"]) for r in got] == want
+    # zero-weight row can never be sampled even with k == n
+    all_ids = {r["id"] for r in weighted_sample(df, "id", "w", 1000).collect()}
+    assert 900 not in all_ids and len(all_ids) == 200
+    # monotonicity in expectation: with weights 1 vs 100 on a big
+    # population, the heavy half dominates the sample
+    big = spark.createDataFrame(
+        [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)], "id long, w double"
+    )
+    heavy = sum(1 for r in weighted_sample(big, "id", "w", 200).collect() if r["id"] % 2 == 0)
+    assert heavy > 170

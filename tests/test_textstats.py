@@ -180,3 +180,27 @@ def test_normalize_corpus_nfc_and_whitespace(spark):
     out = {r.doc_id: (r.norm_text, r.changed) for r in TS.normalize_corpus(docs).collect()}
     assert out[1] == ("a b c é d", True)
     assert out[2] == ("clean text", False)
+
+
+def test_blocklist_stats_counts_and_keep(spark):
+    from my_crawler_spark.operators.textstats import blocklist_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Buy CHEAP pills, buy cheap now!"),
+            (2, "a perfectly clean document"),
+            (3, "cheapest is not cheap-adjacent but cheap is"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in blocklist_stats(docs, ["cheap", "pills", "spam"]).collect()
+    }
+    # case-insensitive token matches, occurrences counted
+    assert got[1]["n_hits"] == 3 and got[1]["matched"] == "cheap,pills"
+    assert not got[1]["keep"]
+    assert got[2]["n_hits"] == 0 and got[2]["matched"] == "" and got[2]["keep"]
+    # token-level: 'cheapest' is NOT a hit; hyphen splits tokens so
+    # 'cheap-adjacent' contributes a 'cheap' token + the bare 'cheap'
+    assert got[3]["n_hits"] == 2 and got[3]["matched"] == "cheap"
