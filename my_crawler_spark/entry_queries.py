@@ -4731,3 +4731,66 @@ SQL_WEIGHTED_SAMPLE = f"""
 
 QUERIES["weighted_sample"] = q_weighted_sample
 ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+# --- crawl snapshot diff -------------------------------------------------------
+
+
+def q_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Two crawl rounds over documents diffed by content version
+    (recrawl.py::snapshot_diff). Round 2 is a deterministic sha-keyed
+    perturbation of round 1: 5% of keys removed, the next 10% re-versioned
+    (changed), and a 10% slice re-appearing under new keys (added)."""
+    from .operators.recrawl import snapshot_diff
+    from .operators.sampling import hash_fraction
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("page_version"),
+        F.substring(F.sha2(F.concat(F.col("text"), F.lit(":v2")), 256), 1, 12)
+          .alias("_v2"),
+        hash_fraction(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    old = docs.select("url", "page_version")
+    survivors = docs.filter(F.col("_h") >= "0ccccccccccc").select(
+        "url",
+        F.when(F.col("_h") < "266666666666", F.col("_v2"))
+        .otherwise(F.col("page_version"))
+        .alias("page_version"),
+    )
+    added = docs.filter(F.col("_h") >= "e66666666666").select(
+        F.concat(F.lit("n:"), F.col("url")).alias("url"),
+        F.col("page_version"),
+    )
+    return snapshot_diff(old, survivors.unionByName(added))
+
+
+SQL_SNAPSHOT_DIFF = """
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             substr(sha256(text), 1, 12) AS page_version,
+             substr(sha256(text || ':v2'), 1, 12) AS v2,
+             substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) AS h
+      FROM documents),
+    old AS (SELECT url, page_version FROM d),
+    new AS (
+      SELECT url,
+             CASE WHEN h < '266666666666' THEN v2 ELSE page_version END
+               AS page_version
+      FROM d WHERE h >= '0ccccccccccc'
+      UNION ALL
+      SELECT 'n:' || url AS url, page_version FROM d WHERE h >= 'e66666666666')
+    SELECT coalesce(old.url, new.url) AS key,
+           old.page_version AS old_version,
+           new.page_version AS new_version,
+           CASE WHEN old.url IS NULL THEN 'added'
+                WHEN new.url IS NULL THEN 'removed'
+                WHEN old.page_version IS NOT DISTINCT FROM new.page_version
+                     THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new USING (url)
+"""
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF

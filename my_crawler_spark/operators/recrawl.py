@@ -116,3 +116,46 @@ def recrawl_schedule(
             "due_now",
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    ver_col: str = "page_version",
+) -> DataFrame:
+    """Crawl-snapshot delta: classify every key across two crawl rounds as
+    added / removed / changed / unchanged by comparing content versions
+    (the reference's page_version, text.py::page_version). The output is
+    what downstream maintenance consumes: `changed` rows feed re-extract +
+    re-embed, `removed` rows feed the stale-version delete (S9,
+    sources/lake.py), `added` rows feed first-time indexing.
+
+    One full outer join on the key — both sides shuffle once on key_col; at
+    lake scale the snapshots are bucketed/partitioned by the same key so the
+    exchange is a no-op. NULL-version rows classify by presence only (a
+    missing version on both sides compares as unchanged via null-safe
+    equality).
+
+    -> (key, old_version, new_version, status)
+    """
+    o = old.select(
+        F.col(key_col).alias("key"), F.col(ver_col).alias("old_version")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.col(ver_col).alias("new_version")
+    )
+    # presence flags survive the outer join even when versions are NULL
+    o = o.withColumn("_in_old", F.lit(True))
+    n = n.withColumn("_in_new", F.lit(True))
+    joined = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_version").eqNullSafe(F.col("new_version")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("key", "old_version", "new_version", status.alias("status"))

@@ -60,3 +60,24 @@ def test_recrawl_clamps_and_tiebreak(spark):
     assert got[4].interval_days == 30.0
     h = {r.page_id: r for r in change_history(_visits(spark, rows)).collect()}
     assert h[5].n_changes == 1
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from my_crawler_spark.operators.recrawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "v1"), ("b", "v1"), ("c", "v1"), ("n", None)],
+        "url string, page_version string",
+    )
+    new = spark.createDataFrame(
+        [("a", "v1"), ("b", "v2"), ("d", "v1"), ("n", None)],
+        "url string, page_version string",
+    )
+    got = {r["key"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "unchanged",
+        "b": "changed",
+        "c": "removed",
+        "d": "added",
+        "n": "unchanged",  # NULL versions both sides: presence-only compare
+    }
