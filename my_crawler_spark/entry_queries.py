@@ -4794,3 +4794,40 @@ SQL_SNAPSHOT_DIFF = """
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF
+
+
+# --- table profiling ----------------------------------------------------------
+
+_PROFILE_COLS = ["lang", "source", "n_chars"]
+
+
+def q_profile_table(spark, sf_dir) -> DataFrame:
+    """Per-column data-quality profile of documents
+    (profiling.py::profile_table): nulls, exact distinct, native-type
+    min/max, top-3 value frequencies."""
+    from .operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"), _PROFILE_COLS, top_k=3)
+
+
+def _profile_block(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column,
+           (SELECT count(*) FROM documents) AS n_rows,
+           (SELECT count(*) - count({c}) FROM documents) AS n_null,
+           (SELECT count(DISTINCT {c}) FROM documents) AS n_distinct,
+           (SELECT CAST(min({c}) AS VARCHAR) FROM documents) AS min_val,
+           (SELECT CAST(max({c}) AS VARCHAR) FROM documents) AS max_val,
+           coalesce((SELECT string_agg(v || ':' || cnt, ',' ORDER BY cnt DESC, v)
+                     FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt
+                           FROM documents WHERE {c} IS NOT NULL
+                           GROUP BY 1 ORDER BY cnt DESC, v LIMIT 3)), '')
+             AS top_values
+    """
+
+
+SQL_PROFILE_TABLE = " UNION ALL ".join(_profile_block(c) for c in _PROFILE_COLS)
+
+
+QUERIES["profile_table"] = q_profile_table
+ORACLES["profile_table"] = SQL_PROFILE_TABLE
