@@ -208,6 +208,7 @@ def bench_queries(spark, sf_dir) -> dict[str, float]:
         "perplexity_bucket", "scrub_spans", "semdedup",
         "hard_negatives", "aspect_buckets", "perplexity_bigram",
         "quality_classifier", "recrawl_schedule", "dedup_paragraphs",
+        "inverted_postings", "dsir_select", "postings_refresh",
     ]:
         t0 = time.time()
         n = EQ.QUERIES[name](spark, sf_dir).count()

@@ -4831,3 +4831,145 @@ SQL_PROFILE_TABLE = " UNION ALL ".join(_profile_block(c) for c in _PROFILE_COLS)
 
 QUERIES["profile_table"] = q_profile_table
 ORACLES["profile_table"] = SQL_PROFILE_TABLE
+
+
+# --- incremental inverted-index refresh ---------------------------------------
+
+
+def _diffed_corpora(spark, sf_dir):
+    """Deterministic two-round corpus for the incremental-index entry: 5% of
+    docs removed, the next 10% text-edited, 10% re-added under new keys."""
+    from .operators.sampling import hash_fraction
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        hash_fraction(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    old_docs = d.select("doc_id", "text")
+    survivors = d.filter(F.col("_h") >= "0ccccccccccc").select(
+        "doc_id",
+        F.when(
+            F.col("_h") < "266666666666", F.concat(F.col("text"), F.lit(" editmark"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.filter(F.col("_h") >= "e66666666666").select(
+        F.concat(F.lit("n:"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    return old_docs, survivors.unionByName(added)
+
+
+def q_postings_refresh(spark, sf_dir) -> DataFrame:
+    """Incremental inverted-index maintenance (search.py::refresh_postings):
+    rebuild only the terms touched by a crawl-round diff. The oracle is a
+    FULL DuckDB rebuild over the new snapshot — a hash match proves the
+    incremental algebra equals the from-scratch index."""
+    from .operators.recrawl import snapshot_diff
+    from .operators.search import inverted_postings, refresh_postings
+
+    old_docs, new_docs = _diffed_corpora(spark, sf_dir)
+    ver = lambda df: df.select(
+        F.col("doc_id").alias("url"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("page_version"),
+    )
+    diff = snapshot_diff(ver(old_docs), ver(new_docs))
+    idx = inverted_postings(old_docs, max_postings=_POSTINGS_CAP)
+    out = refresh_postings(
+        idx, old_docs, new_docs, diff, max_postings=_POSTINGS_CAP
+    )
+    return out.select(
+        "term",
+        "df",
+        "total_tf",
+        F.array_join(
+            F.transform(
+                F.col("postings"),
+                lambda s: F.concat_ws(":", s["doc"], s["tf"].cast("string")),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+SQL_POSTINGS_REFRESH = f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+             substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) AS h
+      FROM documents),
+    newc AS (
+      SELECT doc_id,
+             CASE WHEN h < '266666666666' THEN text || ' editmark'
+                  ELSE text END AS text
+      FROM d WHERE h >= '0ccccccccccc'
+      UNION ALL
+      SELECT 'n:' || doc_id AS doc_id, text FROM d WHERE h >= 'e66666666666'),
+    tok AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-zA-Z0-9]+'), x -> x <> '')) AS term
+      FROM newc),
+    tf AS (
+      SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc),
+    stats AS (
+      SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY term),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc) AS rn
+      FROM tf),
+    lists AS (
+      SELECT term,
+             string_agg(doc || ':' || tf, ',' ORDER BY tf DESC, doc)
+               AS postings
+      FROM ranked WHERE rn <= {_POSTINGS_CAP} GROUP BY term)
+    SELECT s.term, s.df, s.total_tf, l.postings
+    FROM stats s JOIN lists l USING (term)
+"""
+
+
+QUERIES["postings_refresh"] = q_postings_refresh
+ORACLES["postings_refresh"] = SQL_POSTINGS_REFRESH
+
+
+# --- semantic duplicate clusters over embeddings -------------------------------
+
+
+def q_embedding_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Keeper selection for embedding near-dups: connected components over
+    the label-blocked cosine pair graph (dedup.py::duplicate_clusters),
+    canonical representative = min vec_id. Full cross-engine oracle: DuckDB
+    recomputes the pairs with list_cosine_similarity and the components with
+    a recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_duplicates(emb, threshold=0.3, block_col="label")
+    out = D.duplicate_clusters(pairs)
+    return out.select(F.col("id").alias("vec_id"), "cluster_id", "cluster_size")
+
+
+SQL_EMBEDDING_DUP_CLUSTERS = """
+    WITH RECURSIVE e0 AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM e0),
+    reach(id, r) AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+    SELECT lab.id AS vec_id, cluster_id, cluster_size
+    FROM lab JOIN sz USING (cluster_id)
+"""
+
+
+QUERIES["embedding_dup_clusters"] = q_embedding_dup_clusters
+ORACLES["embedding_dup_clusters"] = SQL_EMBEDDING_DUP_CLUSTERS

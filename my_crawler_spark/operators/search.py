@@ -384,3 +384,73 @@ def inverted_postings(
         ).alias("postings")
     )
     return stats.join(lists, "term").select("term", "df", "total_tf", "postings")
+
+
+def refresh_postings(
+    index: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    diff: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 0,
+) -> DataFrame:
+    """Incremental inverted-index maintenance: given the index built over the
+    OLD snapshot, both snapshots, and a recrawl.py::snapshot_diff, rebuild
+    ONLY the terms whose postings could have moved — at web scale the round
+    diff is a sliver of the corpus, and rebuilding the full 100 TB index per
+    crawl round is the thing this operator exists to avoid.
+
+    Touched terms = every term of the OLD text of removed/changed docs plus
+    every term of the NEW text of added/changed docs (a term's df/total_tf/
+    postings change iff one of those docs contains it). Untouched terms keep
+    their index rows via an anti-join; touched terms are recomputed by
+    running inverted_postings over just the new-corpus docs that CONTAIN a
+    touched term (a semi-join on exploded terms) — for a touched term, every
+    doc holding it is in that candidate set, so its corpus-wide stats are
+    exact — then filtered back to the touched set (candidate docs also carry
+    untouched terms whose candidate-only stats would be wrong).
+
+    Shuffle ledger: two term-explode aggs over the DIFF docs, one semi-join,
+    one anti-join, plus inverted_postings over the candidate slice — all
+    keyed on term or doc, nothing global. The result is hash-identical to a
+    full rebuild over the new snapshot (the entry's oracle IS a full DuckDB
+    rebuild).
+    """
+    changed = diff.filter(F.col("status") != "unchanged").select(
+        F.col("key"), F.col("status")
+    )
+    old_touch = (
+        old_docs.join(
+            changed.filter(F.col("status").isin("removed", "changed")),
+            old_docs[id_col].cast("string") == F.col("key"),
+            "left_semi",
+        )
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    new_touch = (
+        new_docs.join(
+            changed.filter(F.col("status").isin("added", "changed")),
+            new_docs[id_col].cast("string") == F.col("key"),
+            "left_semi",
+        )
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    touched = old_touch.union(new_touch).distinct()
+
+    kept = index.join(touched, "term", "left_anti")
+
+    new_terms = new_docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    candidates = new_docs.join(
+        new_terms.join(touched, "term", "left_semi").select(id_col).distinct(),
+        id_col,
+        "left_semi",
+    )
+    rebuilt = inverted_postings(
+        candidates, id_col=id_col, text_col=text_col, max_postings=max_postings
+    ).join(touched, "term", "left_semi")
+    return kept.unionByName(rebuilt)

@@ -157,3 +157,44 @@ def test_inverted_postings_impact_order_and_pruning(spark):
     # stats still see the FULL corpus; only the list tail is cut
     assert pruned["apple"]["df"] == 3 and pruned["apple"]["total_tf"] == 5
     assert [(p["doc"], p["tf"]) for p in pruned["apple"]["postings"]] == [(1, 3)]
+
+
+def test_refresh_postings_equals_full_rebuild(spark):
+    from my_crawler_spark.operators.recrawl import snapshot_diff
+    from my_crawler_spark.operators.search import inverted_postings, refresh_postings
+
+    import pyspark.sql.functions as F
+
+    old = spark.createDataFrame(
+        [
+            ("1", "apple banana apple"),
+            ("2", "banana cherry"),
+            ("3", "date elder date date"),
+            ("4", "fig grape"),
+        ],
+        "doc_id string, text string",
+    )
+    # 2 removed, 3 changed (loses 'elder', gains 'apple'), 5 added
+    new = spark.createDataFrame(
+        [
+            ("1", "apple banana apple"),
+            ("3", "date apple date date"),
+            ("4", "fig grape"),
+            ("5", "cherry honeydew"),
+        ],
+        "doc_id string, text string",
+    )
+    ver = lambda df: df.select(
+        F.col("doc_id").alias("url"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("page_version"),
+    )
+    diff = snapshot_diff(ver(old), ver(new))
+    for cap in (0, 2):
+        idx = inverted_postings(old, max_postings=cap)
+        got = refresh_postings(idx, old, new, diff, max_postings=cap)
+        want = inverted_postings(new, max_postings=cap)
+        as_map = lambda df: {
+            r["term"]: (r["df"], r["total_tf"], [(p["doc"], p["tf"]) for p in r["postings"]])
+            for r in df.collect()
+        }
+        assert as_map(got) == as_map(want)
