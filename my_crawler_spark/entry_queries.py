@@ -4973,3 +4973,57 @@ SQL_EMBEDDING_DUP_CLUSTERS = """
 
 QUERIES["embedding_dup_clusters"] = q_embedding_dup_clusters
 ORACLES["embedding_dup_clusters"] = SQL_EMBEDDING_DUP_CLUSTERS
+
+
+# --- Kneser-Ney bigram perplexity ---------------------------------------------
+
+
+def q_perplexity_kn(spark, sf_dir) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per document
+    (lm.py::kneser_ney_doc_perplexity) — the KenLM smoothing; the DuckDB
+    twin retrains the identical model and hash-matches."""
+    from .operators.lm import kneser_ney_doc_perplexity
+
+    return kneser_ney_doc_perplexity(_t(spark, sf_dir, "documents"))
+
+
+SQL_PERPLEXITY_KN = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    big AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)),
+    bcnt AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY w1, w2),
+    lft AS (SELECT w1, CAST(sum(bcnt) AS DOUBLE) AS c_w1,
+                   CAST(count(*) AS DOUBLE) AS n_follow
+            FROM bcnt GROUP BY w1),
+    rgt AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n_prec
+            FROM bcnt GROUP BY w2),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bcnt),
+    scored AS (
+      SELECT big.doc_id,
+             round(ln(
+               greatest(CAST(bcnt AS DOUBLE) - 0.75, 0.0) / c_w1
+               + 0.75 * n_follow / c_w1 * (n_prec / n_types)), 9) AS logp
+      FROM big JOIN bcnt USING (w1, w2)
+               JOIN lft USING (w1)
+               JOIN rgt USING (w2)
+               CROSS JOIN nt),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(sum(logp) / count(*), 6) AS mean_logp
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.mean_logp,
+           round(exp(-a.mean_logp), 4) AS ppl
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES["perplexity_kn"] = q_perplexity_kn
+ORACLES["perplexity_kn"] = SQL_PERPLEXITY_KN

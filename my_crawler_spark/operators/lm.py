@@ -199,3 +199,83 @@ def bigram_doc_perplexity(
             F.round(F.exp(-F.col("mean_logp")), 4).alias("ppl"),
         )
     )
+
+
+def kneser_ney_doc_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.26) — the smoothing KenLM itself uses, completing the
+    add-one -> KN ladder toward CCNet's production scorer:
+
+        p_KN(w2|w1) = max(c(w1 w2) - d, 0)/c(w1*)
+                      + d * N1+(w1 *)/c(w1*) * N1+(* w2)/N1+(* *)
+
+    where c(w1*) is w1's count as a bigram left side, N1+ are distinct-
+    continuation counts, and the continuation distribution p_cont(w2) =
+    N1+(* w2)/N1+(* *) replaces the raw unigram — the famous "San
+    Francisco" fix: 'Francisco' is frequent but follows almost nothing
+    except 'San', so its continuation mass is tiny.
+
+    All model quantities are exact integer aggregates of the bigram-count
+    relation (ONE extra groupBy each on w1 and w2 — tiny next to the pair
+    shuffle); p_KN is computed with an op order both engines execute
+    identically on exact doubles, then ln() is rounded 9dp, the doc mean
+    6dp, and ppl = exp(-mean) from the rounded value (lm.py's cross-engine
+    float contract). Docs with < 2 tokens score NULL. Model trained on the
+    scored corpus itself, so every doc bigram has c > 0 and p_KN > 0.
+    """
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    big = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    left = bcnt.groupBy("w1").agg(
+        F.sum("bcnt").cast("double").alias("c_w1"),
+        F.count(F.lit(1)).cast("double").alias("n_follow"),
+    )
+    right = bcnt.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n_prec"))
+    n_types = bcnt.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    p_kn = (
+        F.greatest(F.col("bcnt").cast("double") - d, F.lit(0.0)) / F.col("c_w1")
+        + d * F.col("n_follow") / F.col("c_w1") * (F.col("n_prec") / F.col("n_types"))
+    )
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(n_types)
+        .select(F.col(id_col), F.round(F.log(p_kn), 9).alias("logp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("mean_logp"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "mean_logp",
+            F.round(F.exp(-F.col("mean_logp")), 4).alias("ppl"),
+        )
+    )

@@ -108,3 +108,57 @@ def test_bucket_plan_has_no_python_stage(spark, docs):
     plan = perplexity_buckets(docs)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_kneser_ney_matches_python_twin(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from my_crawler_spark.operators.lm import kneser_ney_doc_perplexity
+
+    corpus = [
+        (1, "san francisco is in california"),
+        (2, "san francisco fog and san jose sun"),
+        (3, "the san francisco bay"),
+        (4, "one"),  # < 2 tokens -> NULL scores
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    bigrams = {
+        did: list(zip(toks(t), toks(t)[1:])) for did, t in corpus if len(toks(t)) >= 2
+    }
+    bcnt = Counter(b for bs in bigrams.values() for b in bs)
+    c_w1 = Counter()
+    n_follow = Counter()
+    n_prec = Counter()
+    for (w1, w2), c in bcnt.items():
+        c_w1[w1] += c
+        n_follow[w1] += 1
+        n_prec[w2] += 1
+    n_types = float(len(bcnt))
+    d = 0.75
+
+    def p_kn(w1, w2):
+        return max(bcnt[(w1, w2)] - d, 0.0) / c_w1[w1] + d * n_follow[w1] / c_w1[
+            w1
+        ] * (n_prec[w2] / n_types)
+
+    want = {}
+    for did, bs in bigrams.items():
+        logps = [round(math.log(p_kn(w1, w2)), 9) for w1, w2 in bs]
+        mean = round(math.fsum(logps) / len(logps), 6)
+        want[did] = (len(bs), mean, round(math.exp(-mean), 4))
+
+    got = {r["doc_id"]: r.asDict() for r in kneser_ney_doc_perplexity(docs).collect()}
+    assert got[4]["n_bigrams"] == 0 and got[4]["ppl"] is None
+    for did, (n, mean, ppl) in want.items():
+        assert got[did]["n_bigrams"] == n
+        assert got[did]["mean_logp"] == pytest.approx(mean, abs=2e-6)
+        assert got[did]["ppl"] == pytest.approx(ppl, abs=2e-4)
+    # the continuation fix: 'francisco' follows only 'san', so p_cont is
+    # small even though 'francisco' is frequent; check mass ordering holds
+    assert n_prec["francisco"] == 1 and bcnt[("san", "francisco")] == 3
