@@ -5027,3 +5027,61 @@ SQL_PERPLEXITY_KN = """
 
 QUERIES["perplexity_kn"] = q_perplexity_kn
 ORACLES["perplexity_kn"] = SQL_PERPLEXITY_KN
+
+
+# --- int8 scalar-quantized ANN -------------------------------------------------
+
+
+def q_sq8_topk(spark, sf_dir) -> DataFrame:
+    """Asymmetric SQ8 search (simsearch.py::sq8_*): int8-quantized corpus,
+    float queries, top-10 by dequantized cosine. Codes are exact integers
+    cross-engine, so the DuckDB twin reproduces the whole pipeline."""
+    from .operators.simsearch import sq8_index, sq8_scales, sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(map(float, r.embedding)))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    scales = sq8_scales(emb)
+    return sq8_topk(sq8_index(emb, scales), scales, qs, k=10)
+
+
+SQL_SQ8_TOPK = """
+    WITH per AS (
+      SELECT i, max(abs(CAST(v AS DOUBLE))) AS m
+      FROM (SELECT unnest(embedding) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+      GROUP BY i),
+    s AS (SELECT list(m ORDER BY i) AS scales FROM per),
+    codes AS (
+      SELECT vec_id,
+             [CASE WHEN scales[i] = 0 THEN 0
+                   ELSE greatest(-127, least(127,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) / scales[i]
+                                   * 127.0 + 0.5) AS INTEGER)))
+              END for i in range(1, len(embedding) + 1)] AS codes
+      FROM embeddings, s),
+    deq AS (
+      SELECT vec_id,
+             [CAST(codes[i] AS DOUBLE) * scales[i] / 127.0
+              for i in range(1, len(codes) + 1)] AS deq
+      FROM codes, s),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.deq, q.qv), 6) AS cos
+      FROM q CROSS JOIN deq e)
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+"""
+
+
+QUERIES["sq8_topk"] = q_sq8_topk
+ORACLES["sq8_topk"] = SQL_SQ8_TOPK

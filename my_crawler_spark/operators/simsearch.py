@@ -261,3 +261,90 @@ def ivf_topk(
         )
     )
     return _rank_topk(scored, k, id_col)
+
+
+def sq8_scales(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension absmax scales for int8 scalar quantization, as ONE row
+    holding an array<double> — fully declarative (posexplode -> per-dim max
+    -> collect back into position order), no driver collect, so the scales
+    relation crossJoins/broadcasts like any other 1-row stats dim."""
+    ex = embeddings.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    per = ex.groupBy("pos").agg(
+        F.max(F.abs(F.col("val").cast("double"))).alias("m")
+    )
+    return per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("scales")
+    )
+
+
+def sq8_index(
+    embeddings: DataFrame,
+    scales: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 scalar-quantized vector index: code_j = clamp(floor(v_j / s_j *
+    127 + 0.5), -127, 127) (round-half-up — floor(x+0.5) truncates the same
+    way in Spark and DuckDB, sidestepping their CAST rounding mismatch);
+    zero-scale dims code to 0. 4 bytes/dim -> 1 byte/dim: at a 10^10-vector
+    corpus this is the difference between the index fitting executor memory
+    or not, which is why every production ANN stack ships SQ8. All
+    arithmetic is exact (int codes, double scales), so the DuckDB oracle
+    reproduces codes bit-for-bit."""
+    return embeddings.crossJoin(F.broadcast(scales)).select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col),
+            F.col("scales"),
+            lambda v, s: F.when(s == 0.0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.floor(v.cast("double") / s * F.lit(127.0) + F.lit(0.5)).cast(
+                            "int"
+                        ),
+                    ),
+                )
+            ),
+        ).alias("codes"),
+    )
+
+
+def sq8_topk(
+    index: DataFrame,
+    scales: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric SQ8 search: float queries against dequantized int8 codes
+    (v'_j = c_j * s_j / 127), cosine rounded 6dp BEFORE ranking so the
+    cross-engine rank tie-break (cos DESC, id) sees identical keys. Same
+    broadcast-queries single-pass shape as brute_force_topk. A vector that
+    quantizes to all zeros has no direction — it scores 0.0 (try_divide)
+    instead of raising under ANSI mode."""
+    deq = index.crossJoin(F.broadcast(scales)).select(
+        F.col(id_col),
+        F.zip_with(
+            F.col("codes"), F.col("scales"), lambda c, s: c * s / F.lit(127.0)
+        ).alias("deq"),
+    )
+    qdf = _queries_df(index.sparkSession, queries)
+    a, b = F.col("deq"), F.col("qv")
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = deq.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(F.coalesce(F.try_divide(dot, na * nb), F.lit(0.0)), 6).alias("cos"),
+    )
+    return _rank_topk(scored, k, id_col)

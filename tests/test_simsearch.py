@@ -156,3 +156,53 @@ def test_batch_100_queries_plan_builds_fast(spark):
         lsh_top.setdefault(r.query_id, set()).add(r.vec_id)
     for q, _ in queries[:10]:
         assert q in lsh_top[q]
+
+
+def test_sq8_codes_match_python_and_recall_vs_exact(spark):
+    import math
+
+    from my_crawler_spark.operators.simsearch import (
+        brute_force_topk,
+        sq8_index,
+        sq8_scales,
+        sq8_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.5]),
+        (1, [0.9, 0.1, 0.4]),
+        (2, [-1.0, 2.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),
+        (4, [0.5, -2.0, 0.25]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    scales = sq8_scales(emb)
+    s = scales.collect()[0]["scales"]
+    assert s == [1.0, 2.0, 0.5]
+    idx = {r["vec_id"]: r["codes"] for r in sq8_index(emb, scales).collect()}
+
+    def code(v, sc):
+        return 0 if sc == 0 else max(-127, min(127, math.floor(v / sc * 127 + 0.5)))
+
+    for vid, vec in rows:
+        assert idx[vid] == [code(v, sc) for v, sc in zip(vec, s)], vid
+    # zero vector -> all-zero codes, never NaN
+    assert idx[3] == [0, 0, 0]
+
+    qs = [(0, [1.0, 0.0, 0.5]), (2, [-1.0, 2.0, 0.0])]
+    # sq8_topk tolerates the all-zero vector (scores 0.0); the exact
+    # baseline's plain cosine does not, so compare on the nonzero slice
+    nz = emb.filter("vec_id != 3")
+    approx = sq8_topk(sq8_index(nz, scales), scales, qs, k=3)
+    exact = brute_force_topk(nz, qs, k=3)
+    # and the zero vector itself ranks with cos 0.0, no error
+    z = sq8_topk(sq8_index(emb, scales), scales, qs, k=5)
+    zrows = [r for r in z.collect() if r["vec_id"] == 3]
+    assert zrows and all(r["cos"] == 0.0 for r in zrows)
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in approx.collect()}
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    # 3-dim toy at int8 resolution: quantized ranking == exact ranking
+    assert a == e
