@@ -5085,3 +5085,36 @@ SQL_SQ8_TOPK = """
 
 QUERIES["sq8_topk"] = q_sq8_topk
 ORACLES["sq8_topk"] = SQL_SQ8_TOPK
+
+
+# --- semantic decontamination ---------------------------------------------------
+
+
+def q_semantic_decontaminate(spark, sf_dir) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (dedup.py::semantic_contamination): corpus vectors within cosine 0.35 of
+    the deterministic eval slice (vec_id % 29 == 3) are flagged with their
+    nearest eval evidence rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 29 == 3).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 29 != 3)
+    return D.semantic_contamination(corpus, evals, threshold=0.35)
+
+
+SQL_SEMANTIC_DECONTAMINATE = """
+    WITH evals AS (
+      SELECT vec_id AS eval_id, embedding FROM embeddings
+      WHERE vec_id % 29 = 3),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 <> 3)
+    SELECT c.vec_id, e.eval_id,
+           round(list_cosine_similarity(c.embedding, e.embedding), 4) AS cos
+    FROM corpus c CROSS JOIN evals e
+    WHERE list_cosine_similarity(c.embedding, e.embedding) >= 0.35
+"""
+
+
+QUERIES["semantic_decontaminate"] = q_semantic_decontaminate
+ORACLES["semantic_decontaminate"] = SQL_SEMANTIC_DECONTAMINATE

@@ -823,3 +823,41 @@ def dedup_paragraphs(
         ).alias("clean_text"),
     )
     return per_doc
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    eval_id: str = "eval_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic companion to
+    ngram_contamination: a training doc is contaminated if its embedding is
+    within `threshold` cosine of ANY eval item, catching paraphrases and
+    reformatted copies that shared n-grams miss (the check recent LLM data
+    pipelines layer on top of exact-overlap).
+
+    -> (corpus_id, eval_id, cos) for every pair at/above threshold, the
+    evidence rows; `.groupBy(corpus_id)` for the drop list.
+
+    The eval side is SMALL by construction (benchmarks, not corpora), so it
+    broadcasts and the corpus streams through one scan — no shuffle at all;
+    at 10^10 corpus rows this is scan-bound, exactly like the RefinedWeb
+    URL filter. Cosine stays JVM-side (search.py::cosine)."""
+    from .search import cosine
+
+    e = eval_emb.select(
+        F.col(eval_id).alias("__eid"), F.col(vec_col).alias("__ev")
+    )
+    return (
+        corpus_emb.join(F.broadcast(e))
+        .withColumn("cos", cosine(F.col(vec_col), F.col("__ev")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(corpus_id),
+            F.col("__eid").alias(eval_id),
+            F.round("cos", 4).alias("cos"),
+        )
+    )

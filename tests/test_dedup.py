@@ -281,3 +281,29 @@ def test_hard_negative_pairs_respects_k(spark):
     out = D.hard_negative_pairs(docs, n=2, lo=0.01, hi=0.999, k=3, max_doc_freq=None)
     per_anchor = out.groupBy("anchor_id").count().collect()
     assert per_anchor and all(r["count"] <= 3 for r in per_anchor)
+
+
+def test_semantic_contamination_flags_planted_paraphrase(spark):
+    from my_crawler_spark.operators.dedup import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.96, 0.28, 0.0]),   # near-copy of eval 100 (cos ~.96)
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "eval_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_id"], r["eval_id"]): r["cos"]
+        for r in semantic_contamination(corpus, evals, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 100), (2, 100), (3, 200)}
+    assert got[(1, 100)] == 1.0 and 0.9 < got[(2, 100)] < 1.0
+    plan = semantic_contamination(corpus, evals)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # broadcast-only, no shuffle
