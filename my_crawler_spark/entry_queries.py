@@ -5118,3 +5118,75 @@ SQL_SEMANTIC_DECONTAMINATE = """
 
 QUERIES["semantic_decontaminate"] = q_semantic_decontaminate
 ORACLES["semantic_decontaminate"] = SQL_SEMANTIC_DECONTAMINATE
+
+
+# --- product quantization (PQ/ADC) ---------------------------------------------
+
+
+def q_pq_topk(spark, sf_dir) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance (simsearch.py::pq_*):
+    384-d vectors -> 8 subspace codes from sha-sampled codebooks; queries
+    rank docs by summed per-subspace lookup distances. The DuckDB twin
+    replays codebook selection, code assignment, and ADC exactly."""
+    from .operators.simsearch import pq_codebook, pq_index, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(map(float, r.embedding)))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    cb = pq_codebook(emb, dim=384, m=8, n_centroids=16)
+    codes = pq_index(emb, cb, dim=384, m=8)
+    return pq_topk(codes, cb, qs, dim=384, m=8, k=10)
+
+
+SQL_PQ_TOPK = """
+    WITH picked AS (
+      SELECT vec_id AS cid, embedding
+      FROM embeddings
+      ORDER BY substr(sha256(CAST(vec_id AS VARCHAR)), 1, 12), vec_id
+      LIMIT 16),
+    cb AS (
+      SELECT j.sub, cid,
+             embedding[j.sub * 48 + 1 : j.sub * 48 + 48] AS cvec
+      FROM picked, range(0, 8) j(sub)),
+    sv AS (
+      SELECT vec_id, j.sub,
+             embedding[j.sub * 48 + 1 : j.sub * 48 + 48] AS svec
+      FROM embeddings, range(0, 8) j(sub)),
+    dist AS (
+      SELECT vec_id, sv.sub, cid,
+             round(list_sum([
+               (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+               * (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+               for i in range(1, len(svec) + 1)]), 9) AS d
+      FROM sv JOIN cb ON sv.sub = cb.sub),
+    codes AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cid) AS rn
+        FROM dist) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 1, 2)),
+    qtab AS (
+      SELECT query_id, cb.sub, cid,
+             round(list_sum([
+               (CAST(qv[cb.sub * 48 + i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+               * (CAST(qv[cb.sub * 48 + i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+               for i in range(1, len(cvec) + 1)]), 9) AS qd
+      FROM q CROSS JOIN cb),
+    scored AS (
+      SELECT query_id, codes.vec_id, round(sum(qd), 6) AS dist
+      FROM codes JOIN qtab USING (sub, cid)
+      GROUP BY query_id, codes.vec_id)
+    SELECT query_id, vec_id, dist, rank FROM (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+"""
+
+
+QUERIES["pq_topk"] = q_pq_topk
+ORACLES["pq_topk"] = SQL_PQ_TOPK

@@ -348,3 +348,175 @@ def sq8_topk(
         F.round(F.coalesce(F.try_divide(dot, na * nb), F.lit(0.0)), 6).alias("cos"),
     )
     return _rank_topk(scored, k, id_col)
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebook (Jegou et al. 2011): split dim into m
+    subspaces and take as centroids the subvectors of the n_centroids rows
+    with the smallest sha256(id) — deterministic hash sampling, the same
+    no-global-window selection rationale as ivf_index (k-means would drift
+    cross-engine; sha-sampled codebooks are reproducible bit-for-bit and
+    the standard bootstrap before a refinement pass). cid = the sampled
+    row's id (no window needed). -> (sub, cid, cvec)."""
+    if dim % m != 0:
+        raise ValueError("dim must divide into m subspaces")
+    d_sub = dim // m
+    picked = embeddings.orderBy(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12),
+        F.col(id_col),
+    ).limit(n_centroids)
+    subs = F.array(*[F.lit(j) for j in range(m)])
+    return picked.select(
+        F.explode(subs).alias("sub"),
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "sub",
+        "cid",
+        F.slice(F.col("__v"), F.col("sub") * d_sub + 1, d_sub).alias("cvec"),
+    )
+
+
+def _l2sq(a, b) -> F.Column:
+    """Squared L2 between two array columns, rounded 9dp (cross-engine libm
+    discipline — the 48-term in-order fold's shuffle-free, but the oracle's
+    list_sum may associate differently; 9dp swallows the 1e-13 noise)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def pq_index(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: per (row, subspace), the codebook entry minimizing squared
+    L2 (ties by cid). argmin is min(struct(l2, cid)) — a partial-aggregable
+    groupBy, NOT a window, so map-side combine eats the n_centroids fan-out
+    before the exchange. At 384-d/m=8/16 centroids this stores 8 small ints
+    per vector: 48x smaller than float32. -> (id, sub, cid)."""
+    d_sub = dim // m
+    subs = F.array(*[F.lit(j) for j in range(m)])
+    sv = embeddings.select(
+        F.col(id_col), F.explode(subs).alias("sub"), F.col(vec_col).alias("__v")
+    ).select(
+        id_col,
+        "sub",
+        F.slice(F.col("__v"), F.col("sub") * d_sub + 1, d_sub).alias("svec"),
+    )
+    scored = sv.join(F.broadcast(codebook), "sub").select(
+        id_col,
+        "sub",
+        F.struct(
+            _l2sq(F.col("svec").cast("array<double>"), F.col("cvec").cast("array<double>")).alias("d"),
+            F.col("cid").alias("cid"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("best"))
+        .select(id_col, "sub", F.col("best.cid").alias("cid"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    m: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: per query, a (sub, cid) ->
+    squared-L2 lookup table (n_centroids * m rows — broadcastable at any
+    corpus size), joined to the codes and summed per doc. The scan never
+    touches float vectors — the whole search runs on the 8-int codes, which
+    is the PQ bandwidth win. -> (query_id, vec_id, dist, rank), dist
+    rounded 6dp BEFORE ranking (ASC, ties by id)."""
+    d_sub = dim // m
+    qdf = _queries_df(codes.sparkSession, queries)
+    qtab = qdf.crossJoin(F.broadcast(codebook)).select(
+        "query_id",
+        "sub",
+        "cid",
+        _l2sq(
+            F.slice(F.col("qv"), F.col("sub") * d_sub + 1, d_sub).cast("array<double>"),
+            F.col("cvec").cast("array<double>"),
+        ).alias("qd"),
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["sub", "cid"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qd"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
+    )
+
+
+def pq_refine(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd step over the PQ codebook: assign every subvector to its
+    nearest centroid (pq_index), then move each centroid to the element-wise
+    MEAN of its assigned subvectors (posexplode -> groupBy(sub, cid, pos)
+    avg -> collect back in position order — all partial-aggregable, no
+    window). Components round 6dp so the refined codebook is cross-engine
+    deterministic. Centroids that attracted no vectors keep their old
+    position (left join + per-position coalesce via map lookup is
+    unnecessary: a cid absent from the assignment simply keeps its original
+    row through the anti-join union). Iterate k times for k-means; one step
+    already separates the sha-bootstrap clusters materially (see
+    tests/test_simsearch.py recall assertion)."""
+    d_sub = dim // m
+    codes = pq_index(embeddings, codebook, dim=dim, m=m, id_col=id_col, vec_col=vec_col)
+    subs = F.array(*[F.lit(j) for j in range(m)])
+    sv = embeddings.select(
+        F.col(id_col), F.explode(subs).alias("sub"), F.col(vec_col).alias("__v")
+    ).select(
+        id_col,
+        "sub",
+        F.slice(F.col("__v"), F.col("sub") * d_sub + 1, d_sub).alias("svec"),
+    )
+    assigned = codes.join(sv, [id_col, "sub"]).select(
+        "sub", "cid", F.posexplode(F.col("svec").cast("array<double>")).alias("pos", "x")
+    )
+    moved = (
+        assigned.groupBy("sub", "cid", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .groupBy("sub", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+            ).alias("cvec")
+        )
+    )
+    untouched = codebook.join(moved.select("sub", "cid"), ["sub", "cid"], "left_anti")
+    return moved.unionByName(
+        untouched.select("sub", "cid", F.col("cvec").cast("array<double>").alias("cvec"))
+    )

@@ -206,3 +206,98 @@ def test_sq8_codes_match_python_and_recall_vs_exact(spark):
     e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
     # 3-dim toy at int8 resolution: quantized ranking == exact ranking
     assert a == e
+
+
+def test_pq_codes_match_python_twin_and_adc_ranking(spark):
+    import hashlib
+
+    from my_crawler_spark.operators.simsearch import pq_codebook, pq_index, pq_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0, 0.0, 0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(emb, dim=8, m=2, n_centroids=2)
+    sha = lambda i: hashlib.sha256(str(i).encode()).hexdigest()[:12]
+    picked = sorted(range(4), key=lambda i: (sha(i), i))[:2]
+    got_cb = {(r["sub"], r["cid"]): r["cvec"] for r in cb.collect()}
+    for j in (0, 1):
+        for cid in picked:
+            assert got_cb[(j, cid)] == rows[cid][1][j * 4 : (j + 1) * 4]
+
+    codes = {(r["vec_id"], r["sub"]): r["cid"] for r in pq_index(emb, cb, dim=8, m=2).collect()}
+
+    def argmin(vid, j):
+        sv = rows[vid][1][j * 4 : (j + 1) * 4]
+        return min(
+            picked,
+            key=lambda cid: (
+                round(sum((a - b) ** 2 for a, b in zip(sv, rows[cid][1][j * 4 : (j + 1) * 4])), 9),
+                cid,
+            ),
+        )
+
+    for vid in range(4):
+        for j in (0, 1):
+            assert codes[(vid, j)] == argmin(vid, j), (vid, j)
+
+    # ADC: querying with row 0's exact vector ranks a row coded like row 0 first
+    top = pq_topk(pq_index(emb, cb, dim=8, m=2), cb, [(0, rows[0][1])], dim=8, m=2, k=4)
+    got = [(r["vec_id"], r["dist"]) for r in top.orderBy("rank").collect()]
+    assert len(got) == 4
+    dists = [d for _, d in got]
+    assert dists == sorted(dists)
+    # the doc sharing row 0's codes has ADC distance 0 at the top
+    assert got[0][1] == 0.0
+
+
+def test_pq_refine_improves_recall_and_matches_mean_twin(spark):
+    import numpy as np
+
+    from my_crawler_spark.operators.simsearch import (
+        brute_force_topk,
+        pq_codebook,
+        pq_index,
+        pq_refine,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    # 3 planted gaussian clusters in 8-d so refinement has structure to find
+    centers = rng.standard_normal((3, 8)) * 3
+    rows = [
+        (i, (centers[i % 3] + rng.standard_normal(8) * 0.3).tolist())
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cb0 = pq_codebook(emb, dim=8, m=2, n_centroids=8)
+    cb1 = pq_refine(emb, cb0, dim=8, m=2)
+
+    # refined centroid == rounded mean of its assigned subvectors (twin)
+    codes0 = {(r["vec_id"], r["sub"]): r["cid"] for r in pq_index(emb, cb0, dim=8, m=2).collect()}
+    got1 = {(r["sub"], r["cid"]): r["cvec"] for r in cb1.collect()}
+    by_centroid = {}
+    for (vid, sub), cid in codes0.items():
+        sv = rows[vid][1][sub * 4 : (sub + 1) * 4]
+        by_centroid.setdefault((sub, cid), []).append(sv)
+    for key, svs in by_centroid.items():
+        want = [round(float(np.mean([s[i] for s in svs])), 6) for i in range(4)]
+        assert got1[key] == pytest.approx(want, abs=2e-6), key
+
+    # exact top-k within a tight planted cluster is unresolvable at PQ cell
+    # granularity (ADC ties), so the guarantee to test is CLUSTER purity:
+    # after one Lloyd step every retrieved neighbor comes from the query's
+    # planted cluster
+    qs = [(i, rows[i][1]) for i in range(5)]
+    top = pq_topk(pq_index(emb, cb1, dim=8, m=2), cb1, qs, dim=8, m=2, k=10)
+    for r in top.collect():
+        assert r["vec_id"] % 3 == r["query_id"] % 3, (r["query_id"], r["vec_id"])
