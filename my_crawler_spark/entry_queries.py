@@ -5190,3 +5190,51 @@ SQL_PQ_TOPK = """
 
 QUERIES["pq_topk"] = q_pq_topk
 ORACLES["pq_topk"] = SQL_PQ_TOPK
+
+
+# --- WARC round trip ------------------------------------------------------------
+
+
+def q_warc_roundtrip(spark, sf_dir) -> DataFrame:
+    """WARC writer->reader losslessness (functions/warc.py): documents are
+    serialized to WARC/1.0 records, concatenated into 8 file streams, parsed
+    back byte-accurately, and fingerprinted. The oracle recomputes the
+    fields straight from the source table — a hash match proves the whole
+    encode->concat->parse loop drops and damages nothing (CJK payloads make
+    octets != chars a live hazard)."""
+    from .functions.warc import build_warc_record, parse_warc_files
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = docs.select(
+        (F.col("doc_id") % 8).alias("bucket"),
+        F.col("doc_id"),
+        build_warc_record(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")), F.col("text")
+        ).alias("rec"),
+    )
+    files = recs.groupBy("bucket").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda s: s["rec"],
+            ),
+            "",
+        ).alias("content")
+    )
+    return parse_warc_files(files).select(
+        "uri",
+        "content_length",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+    SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           sha256(text) AS payload_sha
+    FROM documents
+"""
+
+
+QUERIES["warc_roundtrip"] = q_warc_roundtrip
+ORACLES["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
