@@ -5238,3 +5238,164 @@ SQL_WARC_ROUNDTRIP = """
 
 QUERIES["warc_roundtrip"] = q_warc_roundtrip
 ORACLES["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
+
+
+# --- PMI collocations -----------------------------------------------------------
+
+
+def q_pmi_pairs(spark, sf_dir) -> DataFrame:
+    """Top-50 word collocations by PMI (textstats.py::pmi_top_pairs),
+    min_count 5 — the phrase-vocab mining pass."""
+    from .operators.textstats import pmi_top_pairs
+
+    return pmi_top_pairs(_t(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
+SQL_PMI_PAIRS = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9\\p{L}]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    uni AS (
+      SELECT w, count(*) AS ucnt
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    big AS (
+      SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)),
+    bcnt AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY w1, w2),
+    tot AS (SELECT (SELECT CAST(sum(bcnt) AS DOUBLE) FROM bcnt) AS bt,
+                   (SELECT CAST(sum(ucnt) AS DOUBLE) FROM uni) AS ut)
+    SELECT w1, w2, bcnt,
+           round(ln(bcnt / bt) - ln(c1.ucnt / ut) - ln(c2.ucnt / ut), 9) AS pmi
+    FROM bcnt
+    JOIN uni c1 ON c1.w = bcnt.w1
+    JOIN uni c2 ON c2.w = bcnt.w2
+    CROSS JOIN tot
+    WHERE bcnt >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+"""
+
+
+QUERIES["pmi_pairs"] = q_pmi_pairs
+ORACLES["pmi_pairs"] = SQL_PMI_PAIRS
+
+
+# --- PSI distribution drift -----------------------------------------------------
+
+
+def q_psi_drift(spark, sf_dir) -> DataFrame:
+    """PSI between the two diffed crawl rounds' text-length distributions
+    (profiling.py::psi_drift; 12 bins over [0, 600))."""
+    from .operators.profiling import psi_drift
+
+    old_docs, new_docs = _diffed_corpora(spark, sf_dir)
+    return psi_drift(
+        old_docs.select(F.length("text").alias("v")),
+        new_docs.select(F.length("text").alias("v")),
+        "v",
+        lo=0.0,
+        hi=600.0,
+        n_bins=12,
+    )
+
+
+SQL_PSI_DRIFT = """
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+             substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) AS h
+      FROM documents),
+    newc AS (
+      SELECT CASE WHEN h < '266666666666' THEN text || ' editmark'
+                  ELSE text END AS text
+      FROM d WHERE h >= '0ccccccccccc'
+      UNION ALL
+      SELECT text FROM d WHERE h >= 'e66666666666'),
+    co AS (
+      SELECT least(11, greatest(0,
+               CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) AS INTEGER)))
+               AS bin, count(*) AS c
+      FROM d GROUP BY 1),
+    cn AS (
+      SELECT least(11, greatest(0,
+               CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) AS INTEGER)))
+               AS bin, count(*) AS c
+      FROM newc GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM d) AS no,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM newc) AS nn),
+    dom AS (SELECT CAST(b.range AS INTEGER) AS bin FROM range(0, 12) b)
+    SELECT dom.bin,
+           round((coalesce(co.c, 0) + 1.0) / (no + 12.0), 9) AS p,
+           round((coalesce(cn.c, 0) + 1.0) / (nn + 12.0), 9) AS q,
+           round(((coalesce(cn.c, 0) + 1.0) / (nn + 12.0)
+                  - (coalesce(co.c, 0) + 1.0) / (no + 12.0))
+                 * ln(((coalesce(cn.c, 0) + 1.0) / (nn + 12.0))
+                      / ((coalesce(co.c, 0) + 1.0) / (no + 12.0))), 9)
+             AS psi_term
+    FROM dom LEFT JOIN co USING (bin) LEFT JOIN cn USING (bin)
+    CROSS JOIN tot
+"""
+
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLES["psi_drift"] = SQL_PSI_DRIFT
+
+
+# --- HITS hubs & authorities ----------------------------------------------------
+
+
+def q_hits(spark, sf_dir) -> DataFrame:
+    """HITS over the synthesized crawl graph (graph.py::hits): 8 L1-
+    normalized power iterations; hubs seed the crawler, authorities boost
+    the ranker."""
+    from .operators.graph import hits
+
+    out = hits(_edges(spark, sf_dir), iters=8)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Unrolled fixed-iteration HITS — same plain-CTE-per-level trick as
+    _pagerank_sql (every multiply-referenced level MATERIALIZED or DuckDB
+    inlines it exponentially)."""
+    levels = []
+    for k in range(1, iters + 1):
+        levels.append(
+            f"""ar{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h.hub) AS v
+      FROM h{k - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst),
+    a{k} AS MATERIALIZED (
+      SELECT nd.node,
+             COALESCE(ar.v, 0) / (SELECT sum(v) FROM ar{k}) AS authority
+      FROM nd LEFT JOIN ar{k} ar USING (node)),
+    hr{k} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.authority) AS v
+      FROM a{k} a JOIN edges e ON e.dst = a.node GROUP BY e.src),
+    h{k} AS MATERIALIZED (
+      SELECT nd.node, COALESCE(hr.v, 0) / (SELECT sum(v) FROM hr{k}) AS hub
+      FROM nd LEFT JOIN hr{k} hr USING (node))"""
+        )
+    joined = ",\n    ".join(levels)
+    return f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    nd AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+    h0 AS MATERIALIZED (
+      SELECT node, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM nd) AS hub
+      FROM nd),
+    {joined}
+    SELECT h{iters}.node, round(h{iters}.hub, 6) AS hub,
+           round(a{iters}.authority, 6) AS authority
+    FROM h{iters} JOIN a{iters} USING (node)
+"""
+
+
+SQL_HITS = _hits_sql()
+
+
+QUERIES["hits"] = q_hits
+ORACLES["hits"] = SQL_HITS

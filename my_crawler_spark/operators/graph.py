@@ -131,3 +131,78 @@ def anchor_text_profiles(
             ),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the link graph — the
+    complement to PageRank's single score: authorities are pages good links
+    point AT, hubs are pages that point at good authorities; a crawl
+    scheduler seeds from hubs and a ranker boosts authorities.
+
+    Power iteration with L1 normalization each half-step:
+    a = norm1(E^T h), h = norm1(E a), h0 uniform. Same execution shape as
+    pagerank above: iteration state parquet-checkpointed (persist/cache
+    does NOT truncate the analyzed plan — twice-referenced step DFs double
+    the tree per iteration; the round-3 lesson), per-iteration norm scalars
+    are bounded driver collects exactly like pagerank's dangling mass.
+    The DuckDB oracle unrolls the same fixed iterations and hash-matches
+    at 6dp (sum-order float noise ~1e-15 never reaches the 6th digit).
+
+    -> (node, hub, authority), each column L1-normalized.
+    """
+    spark = edges.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="hits_")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        nodes.write.mode("overwrite").parquet(f"{ckpt}/nodes")
+        nd = spark.read.parquet(f"{ckpt}/nodes")
+        n = nd.count()
+        if n == 0:
+            return nd.select(
+                "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+            )
+        nd.withColumn("hub", F.lit(1.0 / n)).write.mode("overwrite").parquet(
+            f"{ckpt}/h0"
+        )
+        for it in range(1, iters + 1):
+            h_prev = spark.read.parquet(f"{ckpt}/h{it - 1}")
+            araw = (
+                h_prev.join(e, h_prev.node == e.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("v"))
+            )
+            asum = araw.agg(F.coalesce(F.sum("v"), F.lit(0.0))).collect()[0][0]
+            nd.join(araw, "node", "left").select(
+                "node",
+                (F.coalesce(F.col("v"), F.lit(0.0)) / F.lit(asum)).alias("authority"),
+            ).write.mode("overwrite").parquet(f"{ckpt}/a{it}")
+            a_cur = spark.read.parquet(f"{ckpt}/a{it}")
+            hraw = (
+                a_cur.join(e, a_cur.node == e.dst)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("v"))
+            )
+            hsum = hraw.agg(F.coalesce(F.sum("v"), F.lit(0.0))).collect()[0][0]
+            nd.join(hraw, "node", "left").select(
+                "node",
+                (F.coalesce(F.col("v"), F.lit(0.0)) / F.lit(hsum)).alias("hub"),
+            ).write.mode("overwrite").parquet(f"{ckpt}/h{it}")
+        h = spark.read.parquet(f"{ckpt}/h{iters}")
+        a = spark.read.parquet(f"{ckpt}/a{iters}")
+        return h.join(a, "node").select("node", "hub", "authority")
+    finally:
+        e.unpersist()

@@ -93,3 +93,57 @@ def profile_table(
         )
     )
     return meta.join(top, "column", "left").na.fill({"top_values": ""})
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric column
+    — the drift metric ML-ops gates retraining on (PSI < 0.1 stable,
+    > 0.25 action). Fixed-width bins over [lo, hi) with clamp-to-edge
+    under/overflow, add-one smoothing so empty bins stay finite:
+
+        psi_term_i = (q_i - p_i) * ln(q_i / p_i),
+        p_i = (old_i + 1)/(n_old + B),  q_i = (new_i + 1)/(n_new + B)
+
+    -> one row per bin (bin, p, q, psi_term, rounded 9dp); sum(psi_term)
+    is the headline PSI. Two groupBy counts + a B-row domain join — the
+    domain comes from spark.range(n_bins) so empty bins exist on both
+    sides; everything else is exact-count arithmetic the DuckDB oracle
+    replays identically. Scale: two scans, two tiny aggs, zero windows."""
+    width = (hi - lo) / n_bins
+
+    def binned(df):
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+
+    co, cn = binned(old), binned(new)
+    domain = old.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    no = old.count()
+    nn = new.count()
+    joined = (
+        domain.join(co, "bin", "left")
+        .withColumnRenamed("c", "c_old")
+        .join(cn, "bin", "left")
+        .withColumnRenamed("c", "c_new")
+        .na.fill({"c_old": 0, "c_new": 0})
+    )
+    p = (F.col("c_old") + F.lit(1.0)) / F.lit(float(no + n_bins))
+    q = (F.col("c_new") + F.lit(1.0)) / F.lit(float(nn + n_bins))
+    return joined.select(
+        "bin",
+        F.round(p, 9).alias("p"),
+        F.round(q, 9).alias("q"),
+        F.round((q - p) * F.log(q / p), 9).alias("psi_term"),
+    )

@@ -431,3 +431,69 @@ def blocklist_stats(
         F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("matched"),
         (F.size(hits) == 0).alias("keep"),
     )
+
+
+def pmi_top_pairs(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information (Church &
+    Hanks 1990) — the association-mining pass that surfaces multiword
+    expressions ("san francisco") for tokenizer/phrase-vocab curation.
+
+    PMI(w1,w2) = ln(p(w1,w2) / (p(w1) p(w2))) with bigram probabilities
+    over the bigram total and unigram probabilities over the token total,
+    computed as ONE rounded-9dp log expression from exact counts (the
+    cross-engine contract). min_count filters the unstable low-frequency
+    tail (classic PMI failure mode: hapax pairs score highest). Plan: the
+    bigram/unigram shuffles of every n-gram op here, then a distributed
+    top-(k) orderBy+limit — ties broken (w1, w2)."""
+    from .dedup import tokens
+
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    big = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    totals = bcnt.agg(F.sum("bcnt").cast("double").alias("bt")).crossJoin(
+        uni.agg(F.sum("ucnt").cast("double").alias("ut"))
+    )
+    scored = (
+        bcnt.filter(F.col("bcnt") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("ucnt", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("ucnt", "c2"), "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            F.col("bcnt"),
+            F.round(
+                F.log(F.col("bcnt") / F.col("bt"))
+                - F.log(F.col("c1") / F.col("ut"))
+                - F.log(F.col("c2") / F.col("ut")),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)

@@ -64,3 +64,30 @@ def test_pagerank_duplicate_edges_collapse(spark):
     g2 = {r["node"]: r["rank"] for r in pagerank(d2).collect()}
     for k in g1:
         assert g1[k] == pytest.approx(g2[k], abs=1e-12)
+
+
+def test_hits_matches_python_power_iteration(spark):
+    from my_crawler_spark.operators.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("d", "b"), ("d", "c"), ("b", "c"), ("c", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iters=8).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(8):
+        a = {v: sum(h[u] for u, w in edges if w == v) for v in nodes}
+        s = sum(a.values())
+        a = {v: x / s for v, x in a.items()}
+        h = {v: sum(a[w] for u, w in edges if u == v) for v in nodes}
+        s = sum(h.values())
+        h = {v: x / s for v, x in h.items()}
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h[v], abs=1e-9), ("hub", v)
+        assert got[v][1] == pytest.approx(a[v], abs=1e-9), ("auth", v)
+    # structure: c is the strongest authority (3 in-links incl. hub b);
+    # a and d are the strongest hubs (they point at both b and c)
+    assert max(got, key=lambda v: got[v][1]) == "c"
+    assert {max(got, key=lambda v: got[v][0])} <= {"a", "d"}

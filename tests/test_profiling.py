@@ -31,3 +31,37 @@ def test_profile_table_all_null_column(spark):
     assert row["n_null"] == 2 and row["n_distinct"] == 0
     assert row["min_val"] is None and row["max_val"] is None
     assert row["top_values"] == ""
+
+
+def test_psi_drift_detects_shift_and_matches_python(spark):
+    import math
+
+    old = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    new = spark.createDataFrame([(float(i % 10) + 3.0,) for i in range(80)], "x double")
+    from my_crawler_spark.operators.profiling import psi_drift
+
+    rows = {r["bin"]: r.asDict() for r in psi_drift(old, new, "x", 0.0, 10.0, 10).collect()}
+    assert set(rows) == set(range(10))
+
+    def counts(vals, n=10):
+        c = [0] * n
+        for v in vals:
+            c[min(n - 1, max(0, math.floor(v)))] += 1
+        return c
+
+    co = counts([i % 10 for i in range(100)])
+    cn = counts([min(i % 10 + 3.0, 9.999) for i in range(80)])
+    psi = 0.0
+    for b in range(10):
+        p = (co[b] + 1.0) / 110.0
+        q = (cn[b] + 1.0) / 90.0
+        term = round((q - p) * math.log(q / p), 9)
+        assert rows[b]["psi_term"] == term, b
+        psi += term
+    # shifted distribution reads as actionable drift
+    assert psi > 0.25
+    # identical snapshots read ~0
+    same = psi_drift(old, old, "x", 0.0, 10.0, 10).agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("psi_term")
+    ).collect()[0][0]
+    assert abs(same) < 1e-9

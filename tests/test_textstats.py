@@ -204,3 +204,26 @@ def test_blocklist_stats_counts_and_keep(spark):
     # token-level: 'cheapest' is NOT a hit; hyphen splits tokens so
     # 'cheap-adjacent' contributes a 'cheap' token + the bare 'cheap'
     assert got[3]["n_hits"] == 2 and got[3]["matched"] == "cheap"
+
+
+def test_pmi_surfaces_planted_collocation(spark):
+    import math
+
+    from my_crawler_spark.operators.textstats import pmi_top_pairs
+
+    # "san francisco" always co-occurs; "the" pairs with everything
+    docs = spark.createDataFrame(
+        [
+            (i, f"the san francisco trip {w} the end")
+            for i, w in enumerate(["alpha", "beta", "gamma", "delta", "eps"])
+        ],
+        "doc_id long, text string",
+    )
+    got = pmi_top_pairs(docs, min_count=5, k=3).collect()
+    # 'san francisco' and 'francisco trip' have identical counts -> equal
+    # PMI; ties break on (w1, w2) so both outrank every 'the' pair
+    top2 = {(r["w1"], r["w2"]) for r in got[:2]}
+    assert top2 == {("san", "francisco"), ("francisco", "trip")}
+    # python twin of the top score: bcnt=5, c1=c2=5, bt=30, ut=35
+    want = round(math.log(5 / 30) - math.log(5 / 35) - math.log(5 / 35), 9)
+    assert got[0]["pmi"] == want and got[1]["pmi"] == want
