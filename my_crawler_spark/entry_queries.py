@@ -5399,3 +5399,57 @@ SQL_HITS = _hits_sql()
 
 QUERIES["hits"] = q_hits
 ORACLES["hits"] = SQL_HITS
+
+
+# --- JPEG quality estimation soundness -------------------------------------------
+
+
+def q_jpeg_quality_sound(spark, sf_dir) -> DataFrame:
+    """Encode a deterministic image per doc at quality 5 + doc_id % 91, then
+    recover the setting from the DQT (multimodal.py::jpeg_quality_column).
+    Emits every mismatch — the ijg formula is injective over 1..100 so the
+    violation set is provably empty."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg import encode_jpeg, estimate_jpeg_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 128
+    )
+
+    def gen(batches):
+        base = (np.arange(16 * 16, dtype=np.float64).reshape(16, 16) % 251)
+        for pdf in batches:
+            bad_id, bad_exp, bad_est = [], [], []
+            for did in pdf["doc_id"]:
+                q = 5 + int(did) % 91
+                img = np.stack([(base + int(did)) % 251] * 3, axis=-1).astype(
+                    np.uint8
+                )
+                est = estimate_jpeg_quality(encode_jpeg(img, quality=q))
+                if est != q:
+                    bad_id.append(int(did))
+                    bad_exp.append(q)
+                    bad_est.append(est)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(bad_id, dtype="Int64"),
+                    "expected_q": pd.array(bad_exp, dtype="Int32"),
+                    "estimated_q": pd.array(bad_est, dtype="Int32"),
+                }
+            )
+
+    return docs.mapInPandas(gen, "doc_id long, expected_q int, estimated_q int")
+
+
+SQL_JPEG_QUALITY_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS INTEGER) AS expected_q,
+           CAST(NULL AS INTEGER) AS estimated_q
+    WHERE 1 = 0
+"""
+
+
+QUERIES["jpeg_quality_sound"] = q_jpeg_quality_sound
+ORACLES["jpeg_quality_sound"] = SQL_JPEG_QUALITY_SOUND

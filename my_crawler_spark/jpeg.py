@@ -580,3 +580,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def read_dqt_luma(data: bytes) -> np.ndarray | None:
+    """First 8-bit DQT table with id 0 (the luma table), in zigzag order as
+    stored — enough to fingerprint the encoder's quality setting without a
+    full decode. Returns None when absent/malformed."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no DQT before scan
+            return None
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                width = 2 if pq else 1
+                vals = seg[off + 1 : off + 1 + 64 * width]
+                if tq == 0 and pq == 0 and len(vals) == 64:
+                    return np.frombuffer(vals, dtype=np.uint8).astype(np.int64)
+                off += 1 + 64 * width
+        pos += 2 + seg_len
+    return None
+
+
+def estimate_jpeg_quality(data: bytes) -> int | None:
+    """Invert the ijg quality formula from the luma DQT: the scaled Annex K
+    table is INJECTIVE over quality 1..100 (verified in tests), so an
+    encoder using the standard formula is recovered exactly; other tables
+    fall back to the nearest (L1) standard scaling. The training-data use:
+    JPEG quality is a strong image-corpus quality/provenance signal
+    (LAION-style curation buckets on it)."""
+    t = read_dqt_luma(data)
+    if t is None:
+        return None
+    base_zz = QT_LUM.ravel()[ZIGZAG] if QT_LUM.ndim == 2 else QT_LUM[ZIGZAG]
+    best_q, best_d = None, None
+    for q in range(1, 101):
+        scale = 5000 // q if q < 50 else 200 - 2 * q
+        cand = np.clip((base_zz * scale + 50) // 100, 1, 255)
+        d = int(np.abs(cand - t).sum())
+        if best_d is None or d < best_d or (d == best_d and q > best_q):
+            best_q, best_d = q, d
+        if d == 0:
+            break
+    return best_q

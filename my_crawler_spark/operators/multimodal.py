@@ -474,3 +474,25 @@ def assign_aspect_buckets(images: DataFrame, w_col: str = "w", h_col: str = "h")
         best["bh"].alias("bucket_h"),
         F.round(best["err"], 6).alias("aspect_err"),
     )
+
+
+def jpeg_quality_column(
+    df: DataFrame, bytes_col: str = "payload", out_col: str = "jpeg_quality"
+) -> DataFrame:
+    """Adds the encoder quality setting recovered from each JPEG payload's
+    luma DQT (jpeg.py::estimate_jpeg_quality — exact for ijg-formula
+    encoders, nearest-table otherwise, NULL for non-JPEG bytes). JPEG
+    quality is a provenance/quality signal image-corpus curation buckets
+    on (thumbnails re-encoded at q<=70 vs originals). One Arrow batch
+    stage, no decode — only the marker walk runs."""
+    from ..jpeg import estimate_jpeg_quality
+
+    @F.pandas_udf("int")
+    def _est(payloads: pd.Series) -> pd.Series:
+        vals = [
+            None if b is None else estimate_jpeg_quality(bytes(b))
+            for b in payloads
+        ]
+        return pd.Series(pd.array(vals, dtype="Int32"))
+
+    return df.withColumn(out_col, _est(F.col(bytes_col)))

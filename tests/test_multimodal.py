@@ -286,3 +286,18 @@ def test_decode_stats_phash_invariant_to_batch_composition(spark):
     got_clean = decode_stats(clean).collect()[0].phash
     assert got_mixed["broken"] is None
     assert got_mixed["a"] == got_mixed["b"] == got_clean == expected
+
+
+def test_jpeg_quality_column_recovers_encoder_setting(spark):
+    import numpy as np
+
+    from my_crawler_spark.jpeg import encode_jpeg
+    from my_crawler_spark.operators.multimodal import jpeg_quality_column
+
+    img = (np.arange(16 * 16, dtype=np.float64).reshape(16, 16) % 251)
+    rgb = np.stack([img] * 3, axis=-1).astype(np.uint8)
+    rows = [(q, bytearray(encode_jpeg(rgb, quality=q))) for q in (5, 37, 92)]
+    rows.append((0, bytearray(b"not a jpeg")))
+    df = spark.createDataFrame(rows, "q long, payload binary")
+    got = {r["q"]: r["jpeg_quality"] for r in jpeg_quality_column(df).collect()}
+    assert got == {5: 5, 37: 37, 92: 92, 0: None}
