@@ -5453,3 +5453,85 @@ SQL_JPEG_QUALITY_SOUND = """
 
 QUERIES["jpeg_quality_sound"] = q_jpeg_quality_sound
 ORACLES["jpeg_quality_sound"] = SQL_JPEG_QUALITY_SOUND
+
+
+# --- event funnel + triangle counts ----------------------------------------------
+
+
+def q_event_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered view->click->purchase funnel per user
+    (operators/events.py::funnel_stages): each step's earliest completion
+    strictly after the previous step, (ts, event_id)-strict."""
+    from .operators.events import funnel_stages
+
+    return funnel_stages(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+SQL_EVENT_FUNNEL = """
+    WITH s1 AS (
+      SELECT user_id, t1, e1 FROM (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t1, event_id AS e1,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, t2, e2 FROM (
+        SELECT e.user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS t2,
+               e.event_id AS e2,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND (CAST(floor(epoch(e.ts)) AS BIGINT), e.event_id) > (s1.t1, s1.e1))
+      WHERE rn = 1),
+    s3 AS (
+      SELECT user_id, t3 FROM (
+        SELECT e.user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS t3,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND (CAST(floor(epoch(e.ts)) AS BIGINT), e.event_id) > (s2.t2, s2.e2))
+      WHERE rn = 1)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS INTEGER) AS stage
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+QUERIES["event_funnel"] = q_event_funnel
+ORACLES["event_funnel"] = SQL_EVENT_FUNNEL
+
+
+def q_triangle_counts(spark, sf_dir) -> DataFrame:
+    """Per-node triangle counts over the undirected crawl graph
+    (graph.py::triangle_counts) — the link-farm clustering signal."""
+    from .operators.graph import triangle_counts
+
+    return triangle_counts(_edges(spark, sf_dir))
+
+
+SQL_TRIANGLE_COUNTS = f"""
+    WITH raw AS ({{edges}}),
+    canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    tris AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM canon e1
+      JOIN canon e2 ON e2.a = e1.b
+      JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+    per AS (
+      SELECT node, count(*) AS triangles
+      FROM (SELECT unnest([a, b, c]) AS node FROM tris) GROUP BY node),
+    nodes AS (SELECT a AS node FROM canon UNION SELECT b AS node FROM canon)
+    SELECT nodes.node, CAST(coalesce(per.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes LEFT JOIN per USING (node)
+"""
+
+
+QUERIES["triangle_counts"] = q_triangle_counts
+ORACLES["triangle_counts"] = SQL_TRIANGLE_COUNTS.format(edges=_EDGES_SQL)

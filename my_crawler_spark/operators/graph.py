@@ -206,3 +206,50 @@ def hits(
         return h.join(a, "node").select("node", "hub", "authority")
     finally:
         e.unpersist()
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED link graph — the local
+    clustering signal (link-farm detection: farms are near-cliques, genuine
+    hubs are stars with few triangles).
+
+    Canonical form first: self-loops dropped, each edge stored once as
+    (a < b); triangles enumerate exactly once as a < b < c via two joins
+    (e(a,b) ⋈ e(b,c) ⋈ e(a,c)), then each corner gets credit through one
+    explode + keyed agg. Zero-triangle nodes keep a row (left join over the
+    node set). All shuffles are edge-keyed; the classic optimization at
+    skewed scale — orienting edges by degree — composes on top by swapping
+    the canonicalization, and the a<b<c form here is its id-ordered
+    special case."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("a"),
+            F.greatest(a, b).alias("b"),
+        )
+        .distinct()
+    )
+    e1 = canon.select(F.col("a"), F.col("b"))
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )

@@ -91,3 +91,16 @@ def test_hits_matches_python_power_iteration(spark):
     # a and d are the strongest hubs (they point at both b and c)
     assert max(got, key=lambda v: got[v][1]) == "c"
     assert {max(got, key=lambda v: got[v][0])} <= {"a", "d"}
+
+
+def test_triangle_counts_small_graph(spark):
+    from my_crawler_spark.operators.graph import triangle_counts
+
+    # K4 on a,b,c,d (4 triangles, each node in 3) + pendant e + self loop
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "e"), ("c", "a"),  # reverse dup + self loop
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
