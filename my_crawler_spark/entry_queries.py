@@ -5535,3 +5535,76 @@ SQL_TRIANGLE_COUNTS = f"""
 
 QUERIES["triangle_counts"] = q_triangle_counts
 ORACLES["triangle_counts"] = SQL_TRIANGLE_COUNTS.format(edges=_EDGES_SQL)
+
+
+# --- retention cohorts ------------------------------------------------------------
+
+
+def q_retention_cohorts(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention over events
+    (operators/events.py::retention_cohorts)."""
+    from .operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = """
+    WITH ub AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS b
+      FROM events),
+    first AS (SELECT user_id, min(b) AS cohort FROM ub GROUP BY user_id),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
+    counts AS (
+      SELECT cohort, ub.b - cohort AS "offset", count(*) AS active_users
+      FROM ub JOIN first USING (user_id)
+      GROUP BY cohort, ub.b - cohort)
+    SELECT counts.cohort, "offset", active_users, cohort_size
+    FROM counts JOIN sizes USING (cohort)
+"""
+
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
+ORACLES["retention_cohorts"] = SQL_RETENTION_COHORTS
+
+
+# --- deterministic graph walks -----------------------------------------------------
+
+
+def q_graph_walks(spark, sf_dir) -> DataFrame:
+    """4-step deterministic walks from every crawl-graph node
+    (graph.py::deterministic_walks) — the DeepWalk corpus generator with
+    sha-derived transitions."""
+    from .operators.graph import deterministic_walks
+
+    return deterministic_walks(_edges(spark, sf_dir), steps=4)
+
+
+def _walks_sql(steps: int = 4) -> str:
+    levels = []
+    for k in range(1, steps + 1):
+        levels.append(
+            f"""ch{k} AS MATERIALIZED (
+      SELECT node, nb AS c{k} FROM (
+        SELECT src AS node, dst AS nb,
+               row_number() OVER (PARTITION BY src
+                 ORDER BY sha256(src || '|{k}|' || dst), dst) AS rn
+        FROM edges) WHERE rn = 1),
+    w{k} AS MATERIALIZED (
+      SELECT w{k - 1}.*, ch{k}.c{k}
+      FROM w{k - 1} LEFT JOIN ch{k} ON ch{k}.node = w{k - 1}.c{k - 1})"""
+        )
+    joined = ",\n    ".join(levels)
+    cols = ", ".join(f"c{k}" for k in range(1, steps + 1))
+    return f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    w0 AS (
+      SELECT node AS start, node AS c0 FROM (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)),
+    {joined}
+    SELECT start, {cols} FROM w{steps}
+"""
+
+
+QUERIES["graph_walks"] = q_graph_walks
+ORACLES["graph_walks"] = _walks_sql()

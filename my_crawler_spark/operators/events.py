@@ -62,3 +62,35 @@ def funnel_stages(
         *[F.col(f"k{i}.t").alias(f"t{i}") for i in range(1, len(steps) + 1)],
         stage.alias("stage"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity bucket
+    (epoch // bucket_seconds — week by default), counted in every later
+    bucket they return in. -> (cohort, offset, active_users) where offset 0
+    is the cohort's own bucket, plus cohort_size for rate computation.
+
+    Two user-keyed aggregates + one join that reuses the same Exchange;
+    distinct (user, bucket) pairs collapse before counting so chatty users
+    weigh once per bucket. The epoch//bucket arithmetic is exact integer
+    division — the DuckDB twin replays it bit-for-bit."""
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    ub = events.select(
+        F.col(user_col), F.floor(epoch / F.lit(bucket_seconds)).cast("long").alias("b")
+    ).distinct()
+    first = ub.groupBy(user_col).agg(F.min("b").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = ub.join(first, user_col).select(
+        "cohort", (F.col("b") - F.col("cohort")).alias("offset"), user_col
+    )
+    counts = joined.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    return counts.join(sizes, "cohort").select(
+        "cohort", "offset", "active_users", "cohort_size"
+    )

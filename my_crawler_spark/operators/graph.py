@@ -253,3 +253,55 @@ def triangle_counts(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-length graph walks for embedding-corpus prep (DeepWalk/node2vec
+    style), with the walk's randomness drawn from sha256(node|step|neighbor)
+    instead of an RNG — the same reproducibility contract as
+    sampling.hash_sample: a re-executed partition, another engine, or
+    another cluster size re-derives the identical walks.
+
+    Per step k, every node's transition is the out-neighbor minimizing
+    (sha256(u|k|v), v) — ONE partial-aggregable min(struct) over the edge
+    list producing a node-keyed transition dim, then one join per step to
+    advance all walks at once (walks never materialize per-walk state
+    beyond the current column). Dead ends propagate NULL. steps is small
+    and fixed; total cost = steps joins on the node key.
+
+    -> (start, c1..c{steps}) — the walk from every node."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    cur = nodes.select(F.col("node").alias("start"), F.col("node").alias("c0"))
+    for k in range(1, steps + 1):
+        choice = (
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("nb"))
+            .distinct()
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.sha2(
+                            F.concat(
+                                F.col("node"), F.lit(f"|{k}|"), F.col("nb")
+                            ),
+                            256,
+                        ).alias("h"),
+                        F.col("nb").alias("nb"),
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.nb").alias(f"c{k}"))
+        )
+        cur = cur.join(
+            choice, cur[f"c{k - 1}"] == choice["node"], "left"
+        ).drop("node")
+    return cur.select("start", *[f"c{k}" for k in range(1, steps + 1)])

@@ -104,3 +104,30 @@ def test_triangle_counts_small_graph(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_deterministic_walks_follow_hash_rule(spark):
+    import hashlib
+
+    from my_crawler_spark.operators.graph import deterministic_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["start"]: (r["c1"], r["c2"], r["c3"]) for r in deterministic_walks(df, steps=3).collect()}
+
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+
+    def step(u, k):
+        if u is None or u not in out:
+            return None
+        return min(out[u], key=lambda v: (hashlib.sha256(f"{u}|{k}|{v}".encode()).hexdigest(), v))
+
+    for start in ("a", "b", "c", "d"):
+        c1 = step(start, 1)
+        c2 = step(c1, 2)
+        c3 = step(c2, 3)
+        assert got[start] == (c1, c2, c3), start
+    # d is a dead end: whole walk NULL
+    assert got["d"] == (None, None, None)
