@@ -5608,3 +5608,68 @@ def _walks_sql(steps: int = 4) -> str:
 
 QUERIES["graph_walks"] = q_graph_walks
 ORACLES["graph_walks"] = _walks_sql()
+
+
+# --- fuzzy title pairs + JSON props extraction --------------------------------------
+
+
+def q_fuzzy_title_pairs(spark, sf_dir) -> DataFrame:
+    """Levenshtein near-dup pairs over English 40-char title prefixes
+    (dedup.py::fuzzy_pairs; English slice because DuckDB's levenshtein is
+    byte-based — identical to Spark's char-based only on ASCII)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return D.fuzzy_pairs(d, prefix_len=40, max_distance=20, band_width=5)
+
+
+SQL_FUZZY_TITLE_PAIRS = """
+    WITH t AS (
+      SELECT doc_id, substr(lower(text), 1, 40) AS title,
+             CAST(floor(length(substr(lower(text), 1, 40)) / 5.0) AS INTEGER)
+               AS band
+      FROM documents WHERE lang = 'en')
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+    FROM t a JOIN t b ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 20
+"""
+
+
+QUERIES["fuzzy_title_pairs"] = q_fuzzy_title_pairs
+ORACLES["fuzzy_title_pairs"] = SQL_FUZZY_TITLE_PAIRS
+
+
+def q_json_props_rollup(spark, sf_dir) -> DataFrame:
+    """Semi-structured processing: parse the events.props JSON column
+    (get_json_object — Catalyst's JSON path evaluator), extract the typed
+    `k` field, and roll it up per event_type. The pattern every log
+    pipeline runs; pushdown-friendly because the JSON never leaves the
+    projection."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+SQL_JSON_PROPS_ROLLUP = """
+    SELECT event_type,
+           count(k) AS n,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+"""
+
+
+QUERIES["json_props_rollup"] = q_json_props_rollup
+ORACLES["json_props_rollup"] = SQL_JSON_PROPS_ROLLUP

@@ -861,3 +861,45 @@ def semantic_contamination(
             F.round("cos", 4).alias("cos"),
         )
     )
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+    max_distance: int = 20,
+    band_width: int = 5,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over title prefixes — the fuzzy-match
+    layer shingle/minhash pipelines miss (single-character typos and small
+    edits barely move token sets but sit at tiny Levenshtein distance).
+
+    Blocking: length bands of `band_width` chars. |len(a) - len(b)| is a
+    LOWER bound on edit distance, so for max_distance << prefix_len the
+    band join prunes the quadratic candidate space while a pair spanning
+    non-adjacent bands is provably beyond a small threshold; pairs
+    straddling one band boundary are the documented recall trade (compare
+    adjacent bands too when exactness matters). F.levenshtein is JVM-side
+    codegen. NOTE: the DuckDB oracle's levenshtein is byte-based where
+    Spark's is char-based — identical on ASCII, so the entry scopes to the
+    English slice."""
+    t = docs.select(
+        F.col(id_col),
+        F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("title"),
+    ).withColumn(
+        "band", F.floor(F.length("title") / F.lit(float(band_width))).cast("int")
+    )
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col("title").alias("ta"), "band"
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"), F.col("title").alias("tb"), "band"
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein(F.col("ta"), F.col("tb")))
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "dist")
+    )

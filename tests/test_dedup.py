@@ -307,3 +307,23 @@ def test_semantic_contamination_flags_planted_paraphrase(spark):
     assert got[(1, 100)] == 1.0 and 0.9 < got[(2, 100)] < 1.0
     plan = semantic_contamination(corpus, evals)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan  # broadcast-only, no shuffle
+
+
+def test_fuzzy_pairs_levenshtein_blocking(spark):
+    from my_crawler_spark.operators.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fix"),      # 1 edit from doc 1
+            (3, "the quick brown foxes"),    # same band, distance 3
+            (4, "completely different txt"),  # same-ish length, far away
+            (5, "zz"),                        # different band entirely
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(
+        docs, prefix_len=40, max_distance=3, band_width=5
+    ).collect()}
+    assert got[(1, 2)] == 1
+    assert (1, 4) not in got and (1, 5) not in got
