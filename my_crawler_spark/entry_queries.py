@@ -5673,3 +5673,169 @@ SQL_JSON_PROPS_ROLLUP = """
 
 QUERIES["json_props_rollup"] = q_json_props_rollup
 ORACLES["json_props_rollup"] = SQL_JSON_PROPS_ROLLUP
+
+
+# --- TPC-H classics over the star schema ---------------------------------------------
+#
+# The OLAP-join muscle demo on the driver's relational tables. Money sums run
+# in exact integer basis points (floor(x*10000 + 0.5) per row, BIGINT sum,
+# divide back at the end) so cross-engine float sum-order noise is ZERO — the
+# rounded-sum trick would boundary-straddle at these magnitudes.
+
+
+def _bp(col) -> F.Column:
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+
+def q_tpch_q1(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1 pricing summary: one scan, map-side partial agg, 4 groups."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_bp(F.col("l_quantity"))).alias("qty_bp"),
+        F.sum(_bp(F.col("l_extendedprice"))).alias("base_bp"),
+        F.sum(_bp(disc)).alias("disc_bp"),
+        F.sum(_bp(charge)).alias("charge_bp"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qty_bp") / 10000.0).alias("sum_qty"),
+        (F.col("base_bp") / 10000.0).alias("sum_base_price"),
+        (F.col("disc_bp") / 10000.0).alias("sum_disc_price"),
+        (F.col("charge_bp") / 10000.0).alias("sum_charge"),
+        F.round(F.col("qty_bp") / 10000.0 / F.col("count_order"), 6).alias("avg_qty"),
+        "count_order",
+    )
+
+
+SQL_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+             AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+             AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                    AS BIGINT)) / 10000.0 AS sum_disc_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS sum_charge,
+           round(sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3 shipping priority: BUILDING segment, order-before/ship-after
+    the cutoff, top-10 revenue orders. Customer dim broadcasts; revenue in
+    exact basis points so the top-10 cut is cross-engine stable."""
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg(F.sum(rev).alias("rev_bp"))
+    return (
+        agg.select(
+            "l_orderkey",
+            (F.col("rev_bp") / 10000.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+    SELECT l_orderkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+           o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5 local supplier volume: ASIA, one order year, customer and
+    supplier in the SAME nation. The nation/region dims broadcast; the
+    fact-side joins shuffle on their keys."""
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+SQL_TPCH_Q5 = """
+    SELECT n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+QUERIES["tpch_q1"] = q_tpch_q1
+ORACLES["tpch_q1"] = SQL_TPCH_Q1
+QUERIES["tpch_q3"] = q_tpch_q3
+ORACLES["tpch_q3"] = SQL_TPCH_Q3
+QUERIES["tpch_q5"] = q_tpch_q5
+ORACLES["tpch_q5"] = SQL_TPCH_Q5
