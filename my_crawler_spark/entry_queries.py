@@ -5839,3 +5839,68 @@ QUERIES["tpch_q3"] = q_tpch_q3
 ORACLES["tpch_q3"] = SQL_TPCH_Q3
 QUERIES["tpch_q5"] = q_tpch_q5
 ORACLES["tpch_q5"] = SQL_TPCH_Q5
+
+
+def q_tpch_q6(spark, sf_dir) -> DataFrame:
+    """TPC-H Q6 forecast-revenue change: pure scan-side filter + single agg
+    — the pushdown showcase (every predicate reaches the parquet reader)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        (F.sum(_bp(F.col("l_extendedprice") * F.col("l_discount"))) / 10000.0)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_TPCH_Q6 = """
+    SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000.0 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+QUERIES["tpch_q6"] = q_tpch_q6
+ORACLES["tpch_q6"] = SQL_TPCH_Q6
+
+
+def q_basket_pairs(spark, sf_dir) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >= 3
+    orders (the pairwise support pass of FP-growth-style mining; at scale
+    minsup prunes before the pair explosion). Distinct parts per order
+    self-join on the order key with a < b."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+
+
+SQL_BASKET_PAIRS = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY pa, pb
+    HAVING count(*) >= 3
+"""
+
+
+QUERIES["basket_pairs"] = q_basket_pairs
+ORACLES["basket_pairs"] = SQL_BASKET_PAIRS
