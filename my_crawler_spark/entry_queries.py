@@ -5904,3 +5904,92 @@ SQL_BASKET_PAIRS = """
 
 QUERIES["basket_pairs"] = q_basket_pairs
 ORACLES["basket_pairs"] = SQL_BASKET_PAIRS
+
+
+def q_tpch_q4_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q4's plan shape — EXISTS decorrelated to a left-semi join:
+    orders in a date window having at least one deep-discount line, counted
+    per priority. (The dataset lacks commit/receipt dates, so the EXISTS
+    predicate is l_discount > 0.08; the join geometry is Q4's.)"""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4_SHAPE = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+    GROUP BY o_orderpriority
+"""
+
+
+QUERIES["tpch_q4_shape"] = q_tpch_q4_shape
+ORACLES["tpch_q4_shape"] = SQL_TPCH_Q4_SHAPE
+
+
+def q_exact_corr(spark, sf_dir) -> DataFrame:
+    """Pearson correlation of quantity vs extended price from EXACT moment
+    sums: per-row values quantized to integer cents, the five moment sums
+    accumulated in decimal(38,0) (Spark) / HUGEINT (DuckDB) — both exact —
+    and the final formula evaluated on identical doubles. Cross-engine
+    float-sum-order noise is zero BY CONSTRUCTION, where a naive F.corr
+    would differ in the last ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("decimal(38,0)")
+    y = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("decimal(38,0)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 9).alias("corr_qty_price"),
+    )
+
+
+SQL_EXACT_CORR = """
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS HUGEINT))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS HUGEINT)
+                      * CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS HUGEINT)
+                      * CAST(floor(l_quantity * 100.0 + 0.5) AS HUGEINT))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+                      * CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+                  AS DOUBLE) AS syy
+      FROM lineitem)
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+             AS corr_qty_price
+    FROM m
+"""
+
+
+QUERIES["exact_corr"] = q_exact_corr
+ORACLES["exact_corr"] = SQL_EXACT_CORR
