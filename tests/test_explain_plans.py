@@ -272,3 +272,47 @@ def test_classifier_and_heavy_hitters_stay_jvm_side(spark):
         for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
             assert node not in plan, f"{node} in plan"
         assert "BroadcastExchange" in plan  # weights / sketch dim broadcast
+
+
+def test_session_ops_plan_shapes(spark):
+    """Plan-shape regressions for the round-4 additions:
+
+    - blocklist_stats is a pure projection (the blocklist is an array
+      literal): zero exchanges, zero Python.
+    - weighted_sample / dsir_select's top-k is TakeOrderedAndProject — a
+      distributed per-partition heap merge, never a global sort.
+    - pq_index's argmin is a partial-aggregable groupBy: no Window, no
+      single-partition exchange.
+    - snapshot_diff is one pair of key-partitioned exchanges: no
+      SinglePartition anywhere.
+    """
+    from my_crawler_spark.operators.recrawl import snapshot_diff
+    from my_crawler_spark.operators.sampling import weighted_sample
+    from my_crawler_spark.operators.simsearch import pq_codebook, pq_index
+    from my_crawler_spark.operators.textstats import blocklist_stats
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta slow gamma", float(i + 1)) for i in range(40)],
+        "doc_id long, text string, w double",
+    )
+    p = explain_str(blocklist_stats(docs, ["slow", "spam"]))
+    assert "Exchange" not in p and "EvalPython" not in p
+
+    p = explain_str(weighted_sample(docs, "doc_id", "w", 5))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(emb, dim=4, m=2, n_centroids=4)
+    p = explain_str(pq_index(emb, cb, dim=4, m=2))
+    assert "Window" not in p and "Exchange SinglePartition" not in p
+
+    snaps = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.sha2(F.col("text"), 256).alias("page_version"),
+    )
+    p = explain_str(snapshot_diff(snaps, snaps))
+    assert "Exchange SinglePartition" not in p and "EvalPython" not in p
