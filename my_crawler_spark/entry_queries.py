@@ -5993,3 +5993,40 @@ SQL_EXACT_CORR = """
 
 QUERIES["exact_corr"] = q_exact_corr
 ORACLES["exact_corr"] = SQL_EXACT_CORR
+
+
+def q_tpch_q12_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q12's plan shape — conditional aggregation over a fact join:
+    per returnflag, how many joined orders are high- vs low-priority
+    (CASE-sum pivoting without a shuffle per branch)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12_SHAPE = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+QUERIES["tpch_q12_shape"] = q_tpch_q12_shape
+ORACLES["tpch_q12_shape"] = SQL_TPCH_Q12_SHAPE
