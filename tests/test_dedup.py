@@ -316,14 +316,103 @@ def test_fuzzy_pairs_levenshtein_blocking(spark):
         [
             (1, "the quick brown fox"),
             (2, "the quick brown fix"),      # 1 edit from doc 1
-            (3, "the quick brown foxes"),    # same band, distance 3
+            (3, "the quick brown foxes"),    # distance 3 (2 inserts + 1 sub)
             (4, "completely different txt"),  # same-ish length, far away
-            (5, "zz"),                        # different band entirely
+            (5, "zz"),                        # way shorter, length-pruned
         ],
         "doc_id long, text string",
     )
     got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(
-        docs, prefix_len=40, max_distance=3, band_width=5
+        docs, prefix_len=40, max_distance=3
     ).collect()}
     assert got[(1, 2)] == 1
     assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_fuzzy_pairs_finds_cross_band_pairs(spark):
+    """The round-4 recall bug: floor(len/5) banding silently dropped true
+    pairs whose prefix lengths differ by >= 5. Both plants below are pairs
+    the old blocking provably missed (old bands floor(24/5)=4 vs
+    floor(30/5)=6, and floor(19/5)=3 vs floor(21/5)=4); the complete
+    adjacent-band-of-width-d blocking must find them."""
+    from my_crawler_spark.operators.dedup import fuzzy_pairs
+
+    t24 = "abcdefghijklmnopqrstuvwx"            # len 24
+    t30 = t24 + "123456"                        # len 30, distance 6
+    t19 = "zyxwvutsrqponmlkjih"                 # len 19
+    t21 = t19 + "00"                            # len 21, distance 2
+    docs = spark.createDataFrame(
+        [(1, t24), (2, t30), (3, t19), (4, t21)], "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(
+        docs, prefix_len=40, max_distance=20
+    ).collect()}
+    assert got[(1, 2)] == 6
+    assert got[(3, 4)] == 2
+
+
+def _naive_pairs(titles: dict[int, str], d: int) -> dict:
+    """Blocking-free ground truth via plain-Python Levenshtein."""
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    ids = sorted(titles)
+    return {
+        (x, y): lev(titles[x], titles[y])
+        for i, x in enumerate(ids) for y in ids[i + 1:]
+        if lev(titles[x], titles[y]) <= d
+    }
+
+
+def test_fuzzy_pairs_complete_vs_naive(spark):
+    """Both candidate paths (signature + short-band) together must equal the
+    all-pairs ground truth — completeness, not just soundness."""
+    from my_crawler_spark.operators.dedup import fuzzy_pairs
+
+    titles = {}
+    for i in range(40):
+        base = f"document title number {i % 7} about topic {i % 5}"
+        if i % 3 == 0:
+            base = base[: 20 + i % 15]          # varied lengths
+        if i % 4 == 1:
+            base = base.replace("t", "7", 1)    # planted typos
+        titles[i] = base.lower()[:40]
+    titles[90] = "ab"                            # zero/low-gram shorties
+    titles[91] = "ac"
+    titles[92] = ""
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in titles.items()], "doc_id long, text string"
+    )
+    for d in (2, 20):
+        got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(
+            docs, prefix_len=40, max_distance=d
+        ).collect()}
+        assert got == _naive_pairs(titles, d), f"max_distance={d}"
+
+
+def test_fuzzy_signature_key_cardinality_scales(spark):
+    """Non-skew check: the signature block key is gram CONTENT, so its
+    cardinality grows with the corpus instead of saturating at the old
+    ~9 length bands."""
+    from my_crawler_spark.operators.dedup import _fuzzy_titles, fuzzy_signatures
+
+    def key_count(n: int) -> int:
+        docs = spark.createDataFrame(
+            [(i, f"page {i * 37 % 911} snippet {i} word{i % 53}") for i in range(n)],
+            "doc_id long, text string",
+        )
+        t = _fuzzy_titles(docs, "doc_id", "text", 40, 2)
+        return (
+            fuzzy_signatures(t, max_distance=2)
+            .select("gram").distinct().count()
+        )
+
+    small, large = key_count(50), key_count(200)
+    assert small > 9 and large > small
