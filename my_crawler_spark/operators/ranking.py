@@ -76,7 +76,7 @@ def global_rank(
         ),
         F.col("__pid"),
     )
-    return (
+    out = (
         s.withColumn(
             rank_col,
             (off + F.col("__mid").bitwiseAND(F.lit(_LOCAL_IDX_MASK)) + F.lit(1)).cast(
@@ -85,6 +85,10 @@ def global_rank(
         )
         .drop("__pid", "__mid")
     )
+    # hand the persisted intermediate to callers that fully materialize the
+    # result (e.g. a table commit) so they can free the cached blocks
+    out._graft_persisted = s
+    return out
 
 
 def allocate_host_budget(

@@ -464,38 +464,66 @@ class CrawlRunner:
         self.t_state.commit(self.spark.createDataFrame(state_rows, STATE_SCHEMA), mode="overwrite")
         return accepted
 
+    @staticmethod
+    def _bulk_seed_rows(urls: DataFrame) -> DataFrame:
+        """(request_id, url) -> frontier rows with per-request seqs in url
+        order, with NO single-task stage anywhere: seqs come from
+        ranking.global_rank's range-partitioned construction ordered by
+        (request_id, url), rebased per request by a partial-aggregable
+        groupBy(min) joined back as a broadcast dim. The previous
+        row_number() over Window.partitionBy(request_id) colocated each
+        request's whole frontier in one task — exactly the 10^10-single-
+        frontier degenerate shape BASELINE.json warns about (and the
+        unpartitioned-Window variant in seed_frontier_bulk was worse: the
+        ENTIRE bulk through one task). The returned DataFrame carries the
+        range-partition cache handle as `_graft_persisted` — callers
+        unpersist after committing."""
+        from ..operators.ranking import global_rank
+
+        ranked = global_rank(
+            urls.select("request_id", "url").distinct(),  # unique (rid, url)
+            [F.col("request_id"), F.col("url")],
+            rank_col="__g",
+        )
+        offsets = ranked.groupBy("request_id").agg(F.min("__g").alias("__base"))
+        rows = (
+            ranked.join(F.broadcast(offsets), "request_id")
+            .withColumn("seq", (F.col("__g") - F.col("__base") + 1).cast("long"))
+            .withColumn("host", url_host(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .select(*[f.name for f in FRONTIER_SCHEMA])
+        )
+        rows._graft_persisted = ranked._graft_persisted
+        return rows
+
     def seed_frontier_bulk(self, request_id: int, urls: DataFrame,
                            max_pages: int, max_depth: int = 10,
                            same_domain: bool = False) -> None:
         """Bulk-inject a large seed frontier for one request (the 10^10-URL
         seed-frontier shape from BASELINE.json): urls(url:string) -> frontier
         rows with seqs assigned by url order. Used by bench + resume tooling."""
-        from pyspark.sql import Window
-
-        rows = (
-            urls.select("url")
-            .withColumn("host", url_host(F.col("url")))
-            .withColumn("depth", F.lit(0))
-            .withColumn(
-                "seq", F.row_number().over(Window.orderBy("url")).cast("long")
-            )
-            .withColumn("request_id", F.lit(request_id).cast("long"))
-            .select(*[f.name for f in FRONTIER_SCHEMA])
-        )
-        first_url = rows.orderBy("seq").limit(1).collect()[0].url
-        n = rows.count()
-        self.t_requests.commit(
-            self.spark.createDataFrame(
-                [(request_id, first_url, py_origin(first_url), max_pages,
-                  max_depth, same_domain, False)],
-                REQUESTS_SCHEMA,
+        rows = self._bulk_seed_rows(
+            urls.select("url").withColumn(
+                "request_id", F.lit(request_id).cast("long")
             )
         )
-        self._invalidate_requests()
-        self.t_frontier.commit(rows, mode="append")
-        self.t_state.commit(
-            self.spark.createDataFrame([(request_id, 0, n)], STATE_SCHEMA)
-        )
+        try:
+            first_url = rows.filter(F.col("seq") == 1).collect()[0].url
+            n = rows.count()
+            self.t_requests.commit(
+                self.spark.createDataFrame(
+                    [(request_id, first_url, py_origin(first_url), max_pages,
+                      max_depth, same_domain, False)],
+                    REQUESTS_SCHEMA,
+                )
+            )
+            self._invalidate_requests()
+            self.t_frontier.commit(rows, mode="append")
+            self.t_state.commit(
+                self.spark.createDataFrame([(request_id, 0, n)], STATE_SCHEMA)
+            )
+        finally:
+            rows._graft_persisted.unpersist()
 
     def seed_frontier_bulk_many(
         self, requests: list[tuple[int, str, int, int, bool]], urls: DataFrame
@@ -507,22 +535,7 @@ class CrawlRunner:
         requests: [(request_id, seed_url, max_pages, max_depth, same_domain)]
         urls:     (request_id, url) covering every request's seed frontier.
         """
-        from pyspark.sql import Window
-
-        rows = (
-            urls.select("request_id", "url")
-            .distinct()  # frontier invariant: unique (request_id, url)
-            .withColumn("host", url_host(F.col("url")))
-            .withColumn("depth", F.lit(0))
-            .withColumn(
-                "seq",
-                F.row_number()
-                .over(Window.partitionBy("request_id").orderBy("url"))
-                .cast("long"),
-            )
-            .select(*[f.name for f in FRONTIER_SCHEMA])
-            .persist()
-        )
+        rows = self._bulk_seed_rows(urls).persist()
         try:
             self.t_frontier.commit(rows, mode="append")
             state = rows.groupBy("request_id").agg(F.max("seq").alias("max_seq")).select(
@@ -533,6 +546,7 @@ class CrawlRunner:
             self.t_state.commit(state, mode="append")
         finally:
             rows.unpersist()
+            rows._graft_persisted.unpersist()
         req_rows = [
             (int(rid), seed, py_origin(seed), int(mp), int(md), bool(sd), False)
             for rid, seed, mp, md, sd in requests

@@ -316,3 +316,38 @@ def test_session_ops_plan_shapes(spark):
     )
     p = explain_str(snapshot_diff(snaps, snaps))
     assert "Exchange SinglePartition" not in p and "EvalPython" not in p
+
+
+def test_bulk_seed_plan_no_single_partition(spark):
+    """Bulk frontier seeding must never funnel the seed set through one
+    task: seq assignment is global_rank's range-partitioned construction
+    (round-4 `weak` mark was an unpartitioned row_number Window, and the
+    per-request Window variant degenerated the same way for one giant
+    request). The plan must contain no Window node and no SinglePartition
+    exchange at all."""
+    from my_crawler_spark.plans.crawl_plan import CrawlRunner
+
+    urls = spark.range(2000).select(
+        (F.col("id") % 3 + 1).alias("request_id"),
+        F.concat(F.lit("https://h1.example.com/p"), F.col("id").cast("string")).alias("url"),
+    )
+    rows = CrawlRunner._bulk_seed_rows(urls)
+    try:
+        plan = rows._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan
+        # seqs are still exactly 1..n per request in url order
+        got = rows.groupBy("request_id").agg(
+            F.count(F.lit(1)).alias("n"), F.min("seq").alias("lo"),
+            F.max("seq").alias("hi"), F.countDistinct("seq").alias("d"),
+        ).collect()
+        for r in got:
+            assert (r.lo, r.hi, r.d) == (1, r.n, r.n), r
+        # and seq order IS url lexicographic order (the reference's FIFO
+        # enqueue contract for bulk seeds) — checked independently of the
+        # implementation, since both bulk paths now share this helper
+        r1 = rows.filter(F.col("request_id") == 1).select("url", "seq").collect()
+        by_seq = [r.url for r in sorted(r1, key=lambda r: r.seq)]
+        assert by_seq == sorted(by_seq)
+    finally:
+        rows._graft_persisted.unpersist()
