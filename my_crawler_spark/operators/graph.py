@@ -208,6 +208,56 @@ def hits(
         e.unpersist()
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set: self-loops dropped, one row per edge as
+    (a, b) with a < b by id."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def _oriented_wedges(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered orientation + wedge enumeration.
+
+    Each undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, making a DAG in which every node's OUT-degree is
+    bounded by the graph's arboricity-ish O(sqrt(m)) — the classic fix for
+    the hub blow-up of id-ordered wedge joins (a 10^6-degree hub otherwise
+    fans out 10^12 wedges; oriented, a star hub contributes ZERO wedges
+    because all its edges point INTO it). Returns (oriented, wedges):
+    oriented = (u, v, kv) with kv = struct(deg, id) of the head, wedges =
+    (u, v1, v2) with v1 ≺ v2 in the same (deg, id) order, so the triangle
+    {x ≺ y ≺ z} is enumerated exactly once as the wedge (x, y, z) closed
+    by the oriented edge y→z."""
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = e.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+    )
+    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("k1") < F.col("k2"))
+        .select("u", "v1", "v2")
+    )
+    return oriented, wedges
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -215,33 +265,21 @@ def triangle_counts(
     clustering signal (link-farm detection: farms are near-cliques, genuine
     hubs are stars with few triangles).
 
-    Canonical form first: self-loops dropped, each edge stored once as
-    (a < b); triangles enumerate exactly once as a < b < c via two joins
-    (e(a,b) ⋈ e(b,c) ⋈ e(a,c)), then each corner gets credit through one
-    explode + keyed agg. Zero-triangle nodes keep a row (left join over the
-    node set). All shuffles are edge-keyed; the classic optimization at
-    skewed scale — orienting edges by degree — composes on top by swapping
-    the canonicalization, and the a<b<c form here is its id-ordered
-    special case."""
-    a, b = F.col(src), F.col(dst)
-    canon = (
-        edges.filter(a != b)
-        .select(
-            F.least(a, b).alias("a"),
-            F.greatest(a, b).alias("b"),
-        )
-        .distinct()
-    )
-    e1 = canon.select(F.col("a"), F.col("b"))
-    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = canon.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tris = (
-        e1.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
-        .select("a", "b", "c")
-    )
+    Degree-ordered orientation (see `_oriented_wedges`) bounds the wedge
+    join's fan-out by out-degree under the (deg, id) order instead of raw
+    degree — the round-4 `weak` fix: link graphs are exactly the skewed
+    case, and a hub's wedges now vanish instead of exploding quadratically.
+    Triangles close wedges with one semi-join against the oriented edges;
+    each triangle is counted exactly once, and each corner gets credit
+    through one explode + keyed agg. Zero-triangle nodes keep a row (left
+    join over the node set). Output is identical to the id-ordered a<b<c
+    enumeration (same DuckDB oracle, unchanged)."""
+    canon = _canonical_edges(edges, src, dst)
+    oriented, wedges = _oriented_wedges(canon)
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"], "left_semi")
     per_node = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

@@ -131,3 +131,29 @@ def test_deterministic_walks_follow_hash_rule(spark):
         assert got[start] == (c1, c2, c3), start
     # d is a dead end: whole walk NULL
     assert got["d"] == (None, None, None)
+
+
+def test_triangle_orientation_bounds_hub_wedges(spark):
+    """Planted star hub: a degree-200 hub plus a small clique. Under the
+    (deg, id) orientation all star edges point INTO the hub, so the hub
+    contributes zero wedges — the wedge stage must stay far below the
+    deg^2 blow-up of the unoriented join — while triangle counts still
+    match: the spokes form no triangles, the clique's are all found."""
+    from my_crawler_spark.operators.graph import (
+        _canonical_edges,
+        _oriented_wedges,
+        triangle_counts,
+    )
+
+    hub = [("hub", f"s{i}") for i in range(200)]
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(hub + clique + [("hub", "c0")],
+                               "src string, dst string")
+    canon = _canonical_edges(df, "src", "dst")
+    _, wedges = _oriented_wedges(canon)
+    n_wedges = wedges.count()
+    # unoriented wedge count at the hub alone would be C(201,2) = 20100
+    assert n_wedges < 100, n_wedges
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got["hub"] == 0 and got["s0"] == 0
+    assert all(got[f"c{i}"] == 6 for i in range(5))  # each K5 node: C(4,2)
