@@ -5209,16 +5209,18 @@ def q_warc_roundtrip(spark, sf_dir) -> DataFrame:
         (F.col("doc_id") % 8).alias("bucket"),
         F.col("doc_id"),
         build_warc_record(
-            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")), F.col("text")
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")),
+            F.encode(F.col("text"), "UTF-8"),
         ).alias("rec"),
     )
     files = recs.groupBy("bucket").agg(
-        F.array_join(
+        F.aggregate(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
                 lambda s: s["rec"],
             ),
-            "",
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
         ).alias("content")
     )
     return parse_warc_files(files).select(
