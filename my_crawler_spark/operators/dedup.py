@@ -248,9 +248,12 @@ def duplicate_clusters(
 
     ckpt = tempfile.mkdtemp(prefix="dup_clusters_")
     spark = pairs.sparkSession
+    # persist the pair relation FIRST: the symmetric union references it
+    # twice, and upstream pair generation (a blocked self-join) is the
+    # expensive part — without this it executes twice in one job
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
@@ -264,6 +267,8 @@ def duplicate_clusters(
         )
         labels = spark.read.parquet(f"{ckpt}/it0")
         for it in range(1, max_iters + 1):
+            from pyspark.sql import Observation
+
             nbr = (
                 edges.join(labels.withColumnRenamed("id", "dst"), "dst")
                 .groupBy("src")
@@ -276,6 +281,9 @@ def duplicate_clusters(
                 .select("id", "old", F.least("old", F.coalesce("nl", "old")).alias("lab"))
             )
             parent = stepped.select(F.col("id").alias("lab"), F.col("lab").alias("plab"))
+            # the convergence count piggybacks on the checkpoint write via
+            # observe() — no separate re-scan job per iteration
+            obs = Observation(f"cc_chg_{it}")
             (
                 stepped.join(parent, "lab", "left")
                 .select(
@@ -283,11 +291,12 @@ def duplicate_clusters(
                     F.least("lab", F.coalesce("plab", "lab")).alias("lab"),
                     (F.least("lab", F.coalesce("plab", "lab")) < F.col("old")).alias("chg"),
                 )
+                .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
                 .write.mode("overwrite")
                 .parquet(f"{ckpt}/it{it}")
             )
             labels = spark.read.parquet(f"{ckpt}/it{it}").select("id", "lab")
-            if spark.read.parquet(f"{ckpt}/it{it}").where("chg").isEmpty():
+            if not (obs.get["n_chg"] or 0):
                 break
         sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
         return labels.join(sizes, "lab").select(
@@ -295,6 +304,7 @@ def duplicate_clusters(
         )
     finally:
         edges.unpersist()
+        p.unpersist()
 
 
 def simhash64(
@@ -615,12 +625,45 @@ def scrub_duplicate_spans(
     )
 
 
+def _semdedup_assign(
+    embeddings: DataFrame, n_lists: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The centroid pick + max-cosine assignment plan semdedup checkpoints:
+    centroid selection is a distributed top-k (TakeOrderedAndProject — no
+    unpartitioned window, no count action), assignment one broadcast
+    crossJoin + per-vector row_number. Exposed so plan tests can assert the
+    shape before the parquet round-trip hides it."""
+    from .sampling import hash_fraction
+    from .search import cosine
+
+    emb = embeddings.select(id_col, vec_col)
+    cents = (
+        emb.orderBy(hash_fraction(F.col(id_col)), F.col(id_col))
+        .limit(n_lists)
+        .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "list_id",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("ccos"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "list_id", F.col("ccos").alias("cos_centroid"))
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     n_lists: int = 16,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_list_bound: int = 128,
+    n_salt: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     embeddings, flagging within-cluster pairs above a cosine threshold as
@@ -638,46 +681,82 @@ def semdedup(
     (vec_id, list_id, cluster_id, cluster_size, cos_centroid, keep).
     Vectors with no near-duplicate are implicit keepers and not emitted.
 
-    Plan: broadcast the n_lists centroids (tiny), one row_number window
-    per vector for assignment, a within-list self-join for pairs (the
-    cluster structure bounds the quadratic — SemDeDup's own design: at
-    10^10 rows use n_lists ~ 10^5 so lists stay ~10^5 rows), then the
-    pointer-doubling connected components of duplicate_clusters and one
-    per-cluster keeper window. Everything is relational; the DuckDB
-    oracle replays the full chain exactly.
+    Scaling the within-list quadratic is the caller's n_lists choice —
+    the paper's own rule: size n_lists so lists stay bounded, i.e.
+    n_lists ≈ n_rows / target_list_size (~10^5 lists at 10^10 rows). Two
+    guards make the plan survive a bad draw anyway:
+
+    - assignment is parquet-checkpointed once (three consumers — both pair
+      sides and the member join — previously re-ran the crossJoin+window
+      per consumer);
+    - a list exceeding `hot_list_bound` rows has its self-join SALTED:
+      rows hash into `n_salt` groups and group-pairs (gi <= gj) become the
+      join key, so a hot list fans out over C(n_salt+1, 2) tasks instead
+      of one (the same salt-the-fetch-not-the-ledger discipline as the
+      crawl's extract stage). The emitted pair SET is identical — the
+      DuckDB oracle replays the unsalted chain and still hash-matches.
+
+    Plan: broadcast centroids, one per-vector row_number window, the
+    (salted) within-list pair join, then the pointer-doubling connected
+    components of duplicate_clusters and one per-cluster keeper window.
     """
-    from .sampling import hash_fraction
+    import tempfile
+
     from .search import cosine
 
-    emb = embeddings.select(id_col, vec_col)
-    cents = (
-        emb.orderBy(hash_fraction(F.col(id_col)), F.col(id_col))
-        .limit(n_lists)
-        .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec"))
+    spark = embeddings.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="semdedup_")
+    _semdedup_assign(embeddings, n_lists, id_col, vec_col).write.parquet(
+        f"{ckpt}/assigned"
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
+    assigned = spark.read.parquet(f"{ckpt}/assigned")
+
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("__lsz"))
+    salted = (
+        assigned.join(F.broadcast(sizes), "list_id")  # n_lists rows: a dim
+        .withColumn(
+            "__g",
+            F.when(F.col("__lsz") > hot_list_bound, F.lit(n_salt)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "__gid", F.pmod(F.xxhash64(F.col(id_col)), F.col("__g")).cast("int")
+        )
+    )
+    a = salted.select(
         "list_id",
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("ccos"),
+        F.col("__gid").alias("gi"),
+        F.explode(F.sequence(F.col("__gid"), F.col("__g") - 1)).alias("gj"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
     )
-    wa = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("list_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "list_id", F.col("ccos").alias("cos_centroid"))
+    b = salted.select(
+        "list_id",
+        F.explode(F.sequence(F.lit(0), F.col("__gid"))).alias("gi"),
+        F.col("__gid").alias("gj"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
     )
-    a = assigned.select(
-        "list_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
-    )
-    b = assigned.select(
-        "list_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
+    # each unordered pair lands in exactly ONE (gi, gj) bucket: same-group
+    # pairs appear in both orientations (id filter keeps one), cross-group
+    # pairs appear once, possibly id-reversed (least/greatest canonicalizes).
+    # Explicit-N repartition on the join keys: AQE coalesces exchanges by
+    # shuffle-READ bytes and cannot see the quadratic blowup inside the
+    # self-join — a few MB of vectors in would otherwise collapse to one
+    # partition doing all the cosine work. A user-specified partition count
+    # is exempt from coalescing.
+    n_parts = spark.sparkContext.defaultParallelism
+    a = a.repartition(n_parts, "list_id", "gi", "gj")
+    b = b.repartition(n_parts, "list_id", "gi", "gj")
     pairs = (
-        a.join(b, "list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["list_id", "gi", "gj"])
+        .filter((F.col("gi") < F.col("gj")) | (F.col("id_a") < F.col("id_b")))
         .filter(F.round(cosine(F.col("v_a"), F.col("v_b")), 4) >= F.lit(threshold))
-        .select("id_a", "id_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
     )
     clusters = duplicate_clusters(pairs)
     members = clusters.withColumnRenamed("id", id_col).join(

@@ -416,3 +416,31 @@ def test_fuzzy_signature_key_cardinality_scales(spark):
 
     small, large = key_count(50), key_count(200)
     assert small > 9 and large > small
+
+
+def test_semdedup_hot_list_salting_is_invisible(spark):
+    """A planted hot list (every vector crowds into one centroid's list)
+    must produce IDENTICAL output whether the self-join is salted or not —
+    the salt only changes the join's task layout, never the pair set."""
+    import numpy as np
+
+    from my_crawler_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(60):
+        v = base + 0.01 * rng.standard_normal(8)   # one crowded direction
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(**kw):
+        return sorted(
+            tuple(r) for r in semdedup(
+                emb, n_lists=4, threshold=0.9, **kw
+            ).collect()
+        )
+
+    salted = run(hot_list_bound=10, n_salt=4)
+    plain = run(hot_list_bound=10**9)
+    assert salted == plain and len(salted) > 0

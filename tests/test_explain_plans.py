@@ -236,18 +236,22 @@ def test_duplicate_spans_plan_partitioned(spark):
 
 def test_semdedup_centroid_pick_is_distributed_topk(spark):
     """semdedup's centroid sample compiles to TakeOrderedAndProject (the
-    centroid_sample shape VERDICT r3 mandated for IVF), and the pair join
-    is keyed on list_id — no unpartitioned Window over the full table."""
+    centroid_sample shape VERDICT r3 mandated for IVF). The assignment plan
+    is inspected pre-checkpoint: semdedup itself parquet-round-trips it so
+    its three consumers don't recompute the crossJoin+window."""
     import numpy as np
 
-    from my_crawler_spark.operators.dedup import semdedup
+    from my_crawler_spark.operators.dedup import _semdedup_assign
 
     rng = np.random.default_rng(3)
     emb = spark.createDataFrame(
         [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
         "vec_id long, embedding array<float>",
     )
-    plan = semdedup(emb, n_lists=4)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        _semdedup_assign(emb, 4, "vec_id", "embedding")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "TakeOrderedAndProject" in plan, plan
 
 
