@@ -209,7 +209,7 @@ def bench_queries(spark, sf_dir) -> dict[str, float]:
         "hard_negatives", "aspect_buckets", "perplexity_bigram",
         "quality_classifier", "recrawl_schedule", "dedup_paragraphs",
         "inverted_postings", "dsir_select", "postings_refresh",
-        "tpch_q5", "warc_roundtrip",
+        "tpch_q5", "warc_roundtrip", "ivfpq_topk",
     ]:
         t0 = time.time()
         n = EQ.QUERIES[name](spark, sf_dir).count()

@@ -5192,6 +5192,134 @@ QUERIES["pq_topk"] = q_pq_topk
 ORACLES["pq_topk"] = SQL_PQ_TOPK
 
 
+def _ivfpq(spark, sf_dir):
+    """Shared IVF×PQ build for the ivfpq entries: sha-sampled coarse lists +
+    sha-sampled PQ codebook over the embeddings fixture, queries 0/1/2."""
+    from .operators.simsearch import ivfpq_topk, pq_codebook, pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(map(float, r.embedding)))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    assigned, cents = SS.ivf_index(emb, n_lists=16)
+    cb = pq_codebook(emb, dim=384, m=8, n_centroids=16)
+    codes = pq_index(emb, cb, dim=384, m=8)
+    ann = ivfpq_topk(
+        assigned, cents, codes, cb, qs, dim=384, m=8, k=10, n_probe=4
+    )
+    return emb, qs, assigned, cents, cb, codes, ann
+
+
+def q_ivfpq_topk(spark, sf_dir) -> DataFrame:
+    """IVF×PQ ANN (simsearch.py::ivfpq_topk — Jegou et al. 2011's IVFADC):
+    coarse lists prune the scan, PQ ADC scores the survivors on their
+    8-int codes. Rows-only: list assignment is a data-dependent numpy
+    argmax (same rationale as ivf_topk); the distances, pruning, ranks,
+    and recall are verified by `ivfpq_sound` and tests/test_simsearch."""
+    _, _, _, _, _, _, ann = _ivfpq(spark, sf_dir)
+    return ann
+
+
+def q_ivfpq_sound(spark, sf_dir) -> DataFrame:
+    """IVF×PQ results are never fabricated: every reported (query, vec,
+    dist, rank) must (a) carry the TRUE ADC distance — recomputed by an
+    independent posexplode/groupBy plan from the codes and codebook re-read
+    through their own builds, NOT the operator's zip_with fold — (b)
+    reference an existing vec whose coarse list is among the query's
+    n_probe probed lists, and (c) have ranks consistent with ascending
+    (dist, vec_id) within the reported set. (Recall is a tuned property
+    tested in test_simsearch.) Violations must be empty."""
+    import numpy as np
+
+    emb, qs, assigned, cents, cb, codes, ann = _ivfpq(spark, sf_dir)
+
+    # (b) probe membership: replay the query->list selection
+    cn = np.asarray(cents, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    probes = []
+    for qid, vec in qs:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        for lid in np.argsort(-(cn @ v))[:4].tolist():
+            probes.append((int(qid), int(lid)))
+    probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    member = (
+        assigned.select(F.col("vec_id"), "list_id")
+        .join(probe_df, "list_id")
+        .select("query_id", "vec_id", F.lit(True).alias("in_probe"))
+    )
+
+    # (a) independent ADC recompute: per (query, vec, sub) the squared L2
+    # between the query's subvector and the ASSIGNED codebook entry, via
+    # posexplode + groupBy sum (a structurally different plan than the
+    # operator's zip_with in-order fold; same 9dp-per-sub/6dp-total
+    # rounding discipline)
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in vec]) for qid, vec in qs],
+        "query_id long, qv array<double>",
+    )
+    pairs = ann.select("query_id", "vec_id", "dist", "rank")
+    per_elem = (
+        pairs.join(codes, "vec_id")
+        .join(F.broadcast(cb), ["sub", "cid"])
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "sub",
+            F.posexplode(F.col("cvec").cast("array<double>")).alias("pos", "cv"),
+            "qv",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "sub",
+            (
+                F.element_at(F.col("qv"), F.col("sub") * 48 + F.col("pos") + 1)
+                - F.col("cv")
+            ).alias("d"),
+        )
+    )
+    dist_true = (
+        per_elem.groupBy("query_id", "vec_id", "sub")
+        .agg(F.round(F.sum(F.col("d") * F.col("d")), 9).alias("qd"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("dist_true"))
+    )
+
+    # (c) rank consistency within the reported set
+    rank_by_dist = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.asc("dist"), F.col("vec_id"))
+    )
+    return (
+        pairs.withColumn("rank_by_dist", rank_by_dist)
+        .join(dist_true, ["query_id", "vec_id"], "left")
+        .join(member, ["query_id", "vec_id"], "left")
+        .filter(
+            F.col("dist_true").isNull()
+            | F.col("in_probe").isNull()
+            | (F.abs(F.col("dist") - F.col("dist_true")) > 2e-6)
+            | (F.col("rank") != F.col("rank_by_dist"))
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+    )
+
+
+SQL_IVFPQ_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS vec_id
+    WHERE 1 = 0
+"""
+
+
+QUERIES["ivfpq_topk"] = q_ivfpq_topk
+QUERIES["ivfpq_sound"] = q_ivfpq_sound
+ORACLES["ivfpq_sound"] = SQL_IVFPQ_SOUND
+
+
 # --- WARC round trip ------------------------------------------------------------
 
 

@@ -38,7 +38,18 @@ _HEX_WIDTH = 12  # 48 bits of the digest: plenty below float precision loss
 
 
 def hash_fraction(col) -> F.Column:
-    """Deterministic uniform key: first 12 hex chars of sha256(id)."""
+    """THE deterministic sampling key for the whole engine: the first 12
+    hex chars of sha256(CAST(col AS STRING)).
+
+    Cross-engine-reproducibility policy: every data-dependent *sample* —
+    hash sampling, split assignment, IVF/PQ/SemDeDup centroid picks —
+    derives from this one key, because sha256 has bit-exact twins in
+    DuckDB (`substr(sha256(CAST(x AS VARCHAR)), 1, 12)`), Python
+    (`hashlib.sha256`), and Spark (`sha2`), so oracles and resumed or
+    re-executed partitions re-derive identical choices. xxhash64 is
+    reserved for *non-oracled internal* hashing (bloom banks, minhash
+    permutations, salt groups) where speed matters and no other engine
+    ever needs to replay the value — it has no DuckDB twin."""
     return F.substring(F.sha2(col.cast("string"), 256), 1, _HEX_WIDTH)
 
 

@@ -167,14 +167,17 @@ def centroid_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """The n_lists rows with the smallest xxhash64(id): a deterministic
-    pseudo-random sample whose plan is a distributed top-k
+    """The n_lists rows with the smallest sampling.hash_fraction(id) (the
+    engine-wide sha256 sampling key — see its cross-engine policy): a
+    deterministic pseudo-random sample whose plan is a distributed top-k
     (TakeOrderedAndProject — per-partition local top-k, driver merge), with
     no unpartitioned Window, no count() action, and no single-task stage.
     Exposed separately so tests can assert the plan shape."""
+    from .sampling import hash_fraction
+
     return (
         embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(hash_fraction(F.col(id_col)), F.col(id_col))
         .limit(n_lists)
     )
 
@@ -186,8 +189,9 @@ def ivf_index(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: centroids = the n_lists rows with the smallest
-    xxhash64(id) — a deterministic pseudo-random sample — assignment by max
-    cosine (one pass).
+    sampling.hash_fraction(id) (sha256 — the engine-wide cross-engine
+    sampling key) — a deterministic pseudo-random sample — assignment by
+    max cosine (one pass).
 
     Centroid selection is a distributed top-k (orderBy + limit compiles to
     TakeOrderedAndProject: each partition keeps its local n_lists smallest
@@ -360,17 +364,19 @@ def pq_codebook(
 ) -> DataFrame:
     """Per-subspace PQ codebook (Jegou et al. 2011): split dim into m
     subspaces and take as centroids the subvectors of the n_centroids rows
-    with the smallest sha256(id) — deterministic hash sampling, the same
-    no-global-window selection rationale as ivf_index (k-means would drift
-    cross-engine; sha-sampled codebooks are reproducible bit-for-bit and
-    the standard bootstrap before a refinement pass). cid = the sampled
-    row's id (no window needed). -> (sub, cid, cvec)."""
+    with the smallest sha256(id) — deterministic hash sampling via the
+    engine-wide sampling.hash_fraction key, the same no-global-window
+    selection rationale as ivf_index (k-means would drift cross-engine;
+    sha-sampled codebooks are reproducible bit-for-bit and the standard
+    bootstrap before a refinement pass). cid = the sampled row's id (no
+    window needed). -> (sub, cid, cvec)."""
+    from .sampling import hash_fraction
+
     if dim % m != 0:
         raise ValueError("dim must divide into m subspaces")
     d_sub = dim // m
     picked = embeddings.orderBy(
-        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12),
-        F.col(id_col),
+        hash_fraction(F.col(id_col)), F.col(id_col)
     ).limit(n_centroids)
     subs = F.array(*[F.lit(j) for j in range(m)])
     return picked.select(
@@ -435,6 +441,34 @@ def pq_index(
     )
 
 
+def _pq_query_table(
+    codebook: DataFrame, queries: list[tuple[int, list[float]]], dim: int, m: int
+) -> DataFrame:
+    """The ADC lookup table: per (query, sub, cid), the squared L2 between
+    the query's subvector and the codebook entry — n_centroids * m rows per
+    query, broadcastable at any corpus size."""
+    d_sub = dim // m
+    qdf = _queries_df(codebook.sparkSession, queries)
+    return qdf.crossJoin(F.broadcast(codebook)).select(
+        "query_id",
+        "sub",
+        "cid",
+        _l2sq(
+            F.slice(F.col("qv"), F.col("sub") * d_sub + 1, d_sub).cast("array<double>"),
+            F.col("cvec").cast("array<double>"),
+        ).alias("qd"),
+    )
+
+
+def _rank_topk_dist(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     codebook: DataFrame,
@@ -450,28 +484,65 @@ def pq_topk(
     touches float vectors — the whole search runs on the 8-int codes, which
     is the PQ bandwidth win. -> (query_id, vec_id, dist, rank), dist
     rounded 6dp BEFORE ranking (ASC, ties by id)."""
-    d_sub = dim // m
-    qdf = _queries_df(codes.sparkSession, queries)
-    qtab = qdf.crossJoin(F.broadcast(codebook)).select(
-        "query_id",
-        "sub",
-        "cid",
-        _l2sq(
-            F.slice(F.col("qv"), F.col("sub") * d_sub + 1, d_sub).cast("array<double>"),
-            F.col("cvec").cast("array<double>"),
-        ).alias("qd"),
-    )
+    qtab = _pq_query_table(codebook, queries, dim, m)
     scored = (
         codes.join(F.broadcast(qtab), ["sub", "cid"])
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("qd"), 6).alias("dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "dist", "rank")
+    return _rank_topk_dist(scored, k, id_col)
+
+
+def ivfpq_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    m: int = 8,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF × PQ — the production ANN composition (Jegou et al. 2011's
+    IVFADC): the coarse quantizer prunes the scan to each query's n_probe
+    nearest lists, and the surviving candidates are scored by the PQ ADC
+    lookup table on their m small-int codes — the search never touches a
+    float vector, combining IVF's scan pruning with PQ's 48x bandwidth win.
+
+    Plan: list selection is a driver-side numpy matmul against the tiny
+    centroid matrix (as ivf_topk); candidates = one broadcast (query_id,
+    list_id) probe join against the assignment relation; scoring = one
+    broadcast ADC-table join + a partial-aggregable groupBy sum over the
+    codes. At 10^10 vectors, store `codes` co-partitioned with `assigned`
+    on list_id so the candidate join is partition-pruned; every broadcast
+    side here is O(queries * n_centroids * m) regardless of corpus size.
+    -> (query_id, vec_id, dist, rank), dist rounded 6dp (ASC, ties by id).
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probes = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        for lid in np.argsort(-(cn @ v))[:n_probe].tolist():
+            probes.append((int(qid), int(lid)))
+    spark = assigned.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    cand = (
+        assigned.select(id_col, "list_id")
+        .join(F.broadcast(probe_df), "list_id")
+        .select("query_id", id_col)
     )
+    qtab = _pq_query_table(codebook, queries, dim, m)
+    scored = (
+        codes.join(cand, id_col)
+        .join(F.broadcast(qtab), ["query_id", "sub", "cid"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qd"), 6).alias("dist"))
+    )
+    return _rank_topk_dist(scored, k, id_col)
 
 
 def pq_refine(

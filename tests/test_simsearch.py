@@ -301,3 +301,97 @@ def test_pq_refine_improves_recall_and_matches_mean_twin(spark):
     top = pq_topk(pq_index(emb, cb1, dim=8, m=2), cb1, qs, dim=8, m=2, k=10)
     for r in top.collect():
         assert r["vec_id"] % 3 == r["query_id"] % 3, (r["query_id"], r["vec_id"])
+
+
+def test_ivfpq_topk_prunes_matches_twin_and_recalls(spark):
+    """IVF x PQ composition (simsearch.py::ivfpq_topk): candidates must come
+    only from the query's probed lists, reported ADC distances must match a
+    plain-Python twin recomputed from the sha-sampled codebook, ranks must
+    ascend by (dist, id), and top-10 overlap vs brute force must clear the
+    same recall floor as the IVF-alone path."""
+    import hashlib
+
+    from my_crawler_spark.operators.simsearch import (
+        ivfpq_topk,
+        pq_codebook,
+        pq_index,
+    )
+
+    rng = np.random.default_rng(11)
+    # planted gaussian clusters so pruning + quantization have structure
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = [
+        (i, (centers[i % 4] + rng.standard_normal(16) * 0.3).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = SS.ivf_index(df, n_lists=8)
+    cb = pq_codebook(df, dim=16, m=4, n_centroids=64)
+    codes = pq_index(df, cb, dim=16, m=4)
+    qs = [(i, rows[i][1]) for i in range(3)]
+    got = ivfpq_topk(
+        assigned, cents, codes, cb, qs, dim=16, m=4, k=10, n_probe=4
+    ).collect()
+
+    # --- pruning: every reported vec belongs to one of its query's probed lists
+    list_of = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    cn = np.asarray(cents, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    probed = {}
+    for qid, vec in qs:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        probed[qid] = set(np.argsort(-(cn @ v))[:4].tolist())
+    for r in got:
+        assert list_of[r["vec_id"]] in probed[r["query_id"]], r
+
+    # --- ADC twin: plain-Python replay of codebook pick, code argmin, lookup
+    sha = lambda i: hashlib.sha256(str(i).encode()).hexdigest()[:12]
+    picked = sorted(range(200), key=lambda i: (sha(i), i))[:64]
+
+    def l2sq(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)), 9)
+
+    def sub(v, j):
+        return v[j * 4 : (j + 1) * 4]
+
+    def code(vid, j):
+        sv = sub(rows[vid][1], j)
+        return min(picked, key=lambda cid: (l2sq(sv, sub(rows[cid][1], j)), cid))
+
+    for r in got:
+        want = round(
+            sum(
+                l2sq(sub(rows[r["query_id"]][1], j), sub(rows[code(r["vec_id"], j)][1], j))
+                for j in range(4)
+            ),
+            6,
+        )
+        assert r["dist"] == pytest.approx(want, abs=2e-6), r
+
+    # --- ranks ascend by (dist, vec_id) within each query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(r["dist"], r["vec_id"]) for r in rs]
+        assert keys == sorted(keys), qid
+
+    # --- recall@10 vs the EXACT squared-L2 top-10 (ADC approximates L2, so
+    # L2 — not cosine — is the honest brute-force baseline) clears the same
+    # 0.5 floor as the IVF-alone path
+    M = np.array([v for _, v in rows])
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qid, vec in qs:
+        l2 = ((M - np.asarray(vec)) ** 2).sum(axis=1)
+        exact = set(np.argsort(l2)[:10].tolist())
+        recalls.append(len(by_g.get(qid, set()) & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5
