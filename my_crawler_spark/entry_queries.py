@@ -5320,6 +5320,305 @@ QUERIES["ivfpq_sound"] = q_ivfpq_sound
 ORACLES["ivfpq_sound"] = SQL_IVFPQ_SOUND
 
 
+# --- EXIF metadata + GPS-PII scrub ----------------------------------------------
+
+
+_EXIF_KEY_MAX = 800
+
+
+def _exif_image_table(spark, sf_dir) -> DataFrame:
+    """(image_id, bytes): JPEGs synthesized from part keys <= 800 (a
+    deterministic key SET — filter, not limit — so the DuckDB oracle can
+    replay it), with an EXIF APP1 injected per key: orientation k%8+1,
+    datetime/make/model from k, GPS iff k%3=0 at coordinates chosen to be
+    exact through the deg/min/sec rational round trip (x.25 / x.5 degrees);
+    keys with k%11=5 carry no EXIF at all (the all-NULL parse path)."""
+    import pandas as pd
+
+    from . import codecs as C
+    from . import exif as X
+    from .fixtures import make_pixels
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .filter(F.col("p_partkey") <= _EXIF_KEY_MAX)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                data = C.encode_image(make_pixels(7, k, 16, 16), "jpeg")
+                if k % 11 != 5:
+                    gps = None
+                    if k % 3 == 0:
+                        gps = (
+                            float((k * 7) % 170 - 85) + 0.25,
+                            float((k * 13) % 350 - 175) + 0.5,
+                        )
+                    app1 = X.build_exif_app1(
+                        orientation=k % 8 + 1,
+                        datetime="2021:%02d:%02d 10:%02d:%02d"
+                        % (k % 12 + 1, k % 28 + 1, k % 60, (k * 3) % 60),
+                        make="Make-%d" % (k % 5),
+                        model="Cam-%d" % (k % 7),
+                        gps=gps,
+                    )
+                    data = X.insert_app1(data, app1)
+                rows.append({"image_id": "p-%d" % k, "bytes": data})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return part.mapInPandas(gen, "image_id string, bytes binary")
+
+
+def q_exif_stats(spark, sf_dir) -> DataFrame:
+    """EXIF parse over binary JPEG payloads (multimodal.py::exif_stats,
+    codec in exif.py): the Spark side genuinely walks the APP1/TIFF bytes;
+    the DuckDB twin recomputes the EXPECTED metadata from the part keys the
+    fixture derives it from — a full value-hash oracle over a binary
+    parser."""
+    from .operators.multimodal import exif_stats
+
+    out = exif_stats(_exif_image_table(spark, sf_dir))
+    return out.select(
+        "image_id",
+        "orientation",
+        "exif_datetime",
+        "make",
+        "model",
+        "has_gps",
+        F.round("gps_lat", 4).alias("gps_lat"),
+        F.round("gps_lon", 4).alias("gps_lon"),
+    )
+
+
+SQL_EXIF_STATS = """
+    SELECT 'p-' || CAST(p_partkey AS VARCHAR) AS image_id,
+           CASE WHEN p_partkey % 11 <> 5
+                THEN CAST(p_partkey % 8 + 1 AS INTEGER) END AS orientation,
+           CASE WHEN p_partkey % 11 <> 5
+                THEN printf('2021:%02d:%02d 10:%02d:%02d',
+                            p_partkey % 12 + 1, p_partkey % 28 + 1,
+                            p_partkey % 60, (p_partkey * 3) % 60)
+           END AS exif_datetime,
+           CASE WHEN p_partkey % 11 <> 5
+                THEN 'Make-' || CAST(p_partkey % 5 AS VARCHAR) END AS make,
+           CASE WHEN p_partkey % 11 <> 5
+                THEN 'Cam-' || CAST(p_partkey % 7 AS VARCHAR) END AS model,
+           (p_partkey % 11 <> 5 AND p_partkey % 3 = 0) AS has_gps,
+           CASE WHEN p_partkey % 11 <> 5 AND p_partkey % 3 = 0
+                THEN round(CAST((p_partkey * 7) % 170 - 85 AS DOUBLE) + 0.25, 4)
+           END AS gps_lat,
+           CASE WHEN p_partkey % 11 <> 5 AND p_partkey % 3 = 0
+                THEN round(CAST((p_partkey * 13) % 350 - 175 AS DOUBLE) + 0.5, 4)
+           END AS gps_lon
+    FROM part WHERE p_partkey <= 800
+"""
+
+
+def q_exif_scrub_sound(spark, sf_dir) -> DataFrame:
+    """GPS scrub soundness (multimodal.py::scrub_exif_gps): after the
+    scrub, (a) no payload parses with GPS, (b) had_gps equals the
+    original's has_gps, (c) orientation/datetime/make/model survive
+    byte-exactly, and (d) the perceptual hash is unchanged — the pixels
+    were never touched. Violations must be empty."""
+    from .operators.multimodal import decode_stats, exif_stats, scrub_exif_gps
+
+    images = _exif_image_table(spark, sf_dir)
+    images.persist()
+    scrubbed = scrub_exif_gps(images)
+    scrubbed.persist()
+    before = exif_stats(images).alias("b")
+    after = exif_stats(scrubbed.select("image_id", "bytes")).alias("a")
+    flags = scrubbed.select("image_id", "had_gps")
+    ph_b = decode_stats(images).select("image_id", F.col("phash").alias("ph_b"))
+    ph_a = decode_stats(scrubbed.select("image_id", "bytes")).select(
+        "image_id", F.col("phash").alias("ph_a")
+    )
+    joined = (
+        before.join(after, "image_id")
+        .join(flags, "image_id")
+        .join(ph_b, "image_id")
+        .join(ph_a, "image_id")
+    )
+    return joined.filter(
+        F.col("a.has_gps")
+        | (F.col("had_gps") != F.col("b.has_gps"))
+        | ~(F.col("a.orientation").eqNullSafe(F.col("b.orientation")))
+        | ~(F.col("a.exif_datetime").eqNullSafe(F.col("b.exif_datetime")))
+        | ~(F.col("a.make").eqNullSafe(F.col("b.make")))
+        | ~(F.col("a.model").eqNullSafe(F.col("b.model")))
+        | (F.col("ph_a") != F.col("ph_b"))
+    ).select(F.col("image_id"), F.lit("scrub_violation").alias("reason"))
+
+
+SQL_EXIF_SCRUB_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS image_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+
+QUERIES["exif_stats"] = q_exif_stats
+ORACLES["exif_stats"] = SQL_EXIF_STATS
+QUERIES["exif_scrub_sound"] = q_exif_scrub_sound
+ORACLES["exif_scrub_sound"] = SQL_EXIF_SCRUB_SOUND
+
+
+# --- bulk sitemap BFS -----------------------------------------------------------
+
+
+def q_sitemap_bulk(spark, sf_dir) -> DataFrame:
+    """Fleet-sized sitemap discovery (operators/sitemaps.py::
+    sitemap_bulk_discover): every request's depth-bounded file BFS runs as
+    ONE declarative plan — unrolled self-joins + request-partitioned
+    windows, no driver loop. Fixture: per source host, a root sitemap
+    (docs with doc_id%3!=0) linking a nested index (doc_id%3==0);
+    max_pages=5 so the limit (20) truncates inside the nested file. The
+    DuckDB twin replays file order, page order, and the cap."""
+    from .operators.sitemaps import sitemap_bulk_discover
+
+    base = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.concat(F.lit("https://"), "source", F.lit(".example.com")).alias("origin"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2026-01-01").cast("date"), (F.col("doc_id") % 200).cast("int")
+            )
+        ).alias("lastmod"),
+    )
+    page = F.concat("origin", F.lit("/d/"), F.col("doc_id").cast("string"))
+    root = F.concat("origin", F.lit("/sitemap.xml"))
+    nested = F.concat("origin", F.lit("/sitemap-more.xml"))
+    sm = (
+        base.filter(F.col("doc_id") % 3 != 0)
+        .select(root.alias("sitemap_url"), F.lit("url").alias("kind"),
+                page.alias("loc"), "lastmod")
+        .unionByName(
+            base.select("origin").distinct().select(
+                root.alias("sitemap_url"),
+                F.lit("sitemap").alias("kind"),
+                nested.alias("loc"),
+                F.lit("2026-06-01 00:00:00").cast("timestamp").alias("lastmod"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 3 == 0).select(
+                nested.alias("sitemap_url"), F.lit("url").alias("kind"),
+                page.alias("loc"), "lastmod",
+            )
+        )
+    )
+    reqs = base.select(
+        F.col("source").alias("request_id"),
+        F.concat("origin", F.lit("/")).alias("seed"),
+        F.array().cast("array<string>").alias("declared"),
+        F.lit(5).alias("max_pages"),
+    ).distinct()
+    out = sitemap_bulk_discover(reqs, sm)
+    return out.select("request_id", F.col("seq").cast("long").alias("seq"), "page_url")
+
+
+SQL_SITEMAP_BULK = """
+    WITH pages AS (
+      SELECT source AS request_id,
+             CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 2 END AS rnk,
+             'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+               AS page_url,
+             doc_id % 200 AS lm
+      FROM documents),
+    ordered AS (
+      SELECT request_id, page_url,
+             row_number() OVER (PARTITION BY request_id
+                                ORDER BY rnk, lm DESC, page_url ASC) AS seq
+      FROM pages)
+    SELECT request_id, seq, page_url FROM ordered WHERE seq <= 20
+"""
+
+
+QUERIES["sitemap_bulk"] = q_sitemap_bulk
+ORACLES["sitemap_bulk"] = SQL_SITEMAP_BULK
+
+
+# --- SURT / CDX URL index -------------------------------------------------------
+
+
+def q_cdx_index(spark, sf_dir) -> DataFrame:
+    """SURT keys + CDX index rows (operators/cdx.py) over messy generated
+    URLs — uppercase schemes, www. prefixes, default :443 ports, unsorted
+    query params, fragments. The DuckDB twin constructs the EXPECTED surt
+    directly from the generator's parts (host labels pre-reversed, params
+    pre-sorted), so the whole normalization chain is value-hash checked.
+    Global (surt, ts14) ordering is a plan property asserted in
+    tests/test_cdx.py (range shards + sortWithinPartitions — order itself
+    is invisible to the order-insensitive compare here)."""
+    from .operators.cdx import cdx_index
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 7).cast("string"), F.lit(".example.com")
+    )
+    host = F.when(k % 3 == 0, F.concat(F.lit("www."), host)).otherwise(host)
+    hostp = F.when(k % 7 == 0, F.concat(host, F.lit(":443"))).otherwise(host)
+    scheme = F.when(k % 6 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://"))
+    path = (
+        F.when(k % 5 == 0, F.lit("/"))
+        .when(k % 5 == 1, F.concat(F.lit("/A/p"), k.cast("string")))
+        .when(k % 5 == 2, F.concat(F.lit("/login/x"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/blog/post"), k.cast("string")))
+    )
+    suffix = (
+        F.when(k % 4 == 0, F.lit("?z=9&a=1"))
+        .when(k % 4 == 1, F.lit("#frag"))
+        .when(k % 4 == 2, F.lit("?b=2"))
+        .otherwise(F.lit(""))
+    )
+    recs = o.select(
+        F.concat(scheme, hostp, path, suffix).alias("url"),
+        F.timestamp_seconds(F.lit(1767225600).cast("long") + (k % 86400)).alias(
+            "fetched_at"
+        ),
+    )
+    return cdx_index(recs, shards=8).select("surt", "ts14", "original")
+
+
+SQL_CDX_INDEX = """
+    SELECT
+      'com,example,h' || CAST(o_custkey % 7 AS VARCHAR) || ')'
+      || lower(CASE o_orderkey % 5
+           WHEN 0 THEN '/'
+           WHEN 1 THEN '/A/p' || CAST(o_orderkey AS VARCHAR)
+           WHEN 2 THEN '/login/x' || CAST(o_orderkey AS VARCHAR)
+           ELSE '/blog/post' || CAST(o_orderkey AS VARCHAR) END)
+      || (CASE WHEN o_orderkey % 4 = 0 THEN '?a=1&z=9'
+               WHEN o_orderkey % 4 = 2 THEN '?b=2' ELSE '' END) AS surt,
+      strftime(TIMESTAMP '2026-01-01'
+               + (o_orderkey % 86400) * INTERVAL 1 SECOND,
+               '%Y%m%d%H%M%S') AS ts14,
+      (CASE WHEN o_orderkey % 6 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      || (CASE WHEN o_orderkey % 3 = 0 THEN 'www.' ELSE '' END)
+      || 'h' || CAST(o_custkey % 7 AS VARCHAR) || '.example.com'
+      || (CASE WHEN o_orderkey % 7 = 0 THEN ':443' ELSE '' END)
+      || (CASE o_orderkey % 5
+           WHEN 0 THEN '/'
+           WHEN 1 THEN '/A/p' || CAST(o_orderkey AS VARCHAR)
+           WHEN 2 THEN '/login/x' || CAST(o_orderkey AS VARCHAR)
+           ELSE '/blog/post' || CAST(o_orderkey AS VARCHAR) END)
+      || (CASE WHEN o_orderkey % 4 = 0 THEN '?z=9&a=1'
+               WHEN o_orderkey % 4 = 1 THEN '#frag'
+               WHEN o_orderkey % 4 = 2 THEN '?b=2' ELSE '' END) AS original
+    FROM orders
+"""
+
+
+QUERIES["cdx_index"] = q_cdx_index
+ORACLES["cdx_index"] = SQL_CDX_INDEX
+
+
 # --- WARC round trip ------------------------------------------------------------
 
 

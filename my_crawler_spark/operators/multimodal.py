@@ -496,3 +496,87 @@ def jpeg_quality_column(
         return pd.Series(pd.array(vals, dtype="Int32"))
 
     return df.withColumn(out_col, _est(F.col(bytes_col)))
+
+
+EXIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("exif_datetime", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("has_gps", T.BooleanType()),
+        T.StructField("gps_lat", T.DoubleType()),
+        T.StructField("gps_lon", T.DoubleType()),
+    ]
+)
+
+
+def exif_stats(images: DataFrame) -> DataFrame:
+    """EXIF metadata per image row (exif.py — pure-Python APP1/TIFF walk,
+    both endiannesses): orientation / timestamp / camera for curation,
+    has_gps + coordinates for the PII audit. One Arrow batch stage; only
+    the segment chain up to SOS is walked — no pixel decode. Non-JPEG or
+    EXIF-less payloads parse to all-NULL rows, not errors."""
+    from .. import exif as X
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EXIF_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    m = X.parse_exif(bytes(data))
+                except Exception:
+                    m = dict.fromkeys(
+                        ("orientation", "datetime", "make", "model",
+                         "gps_lat", "gps_lon"), None) | {"has_gps": False}
+                rows.append(
+                    (iid, m["orientation"], m["datetime"], m["make"],
+                     m["model"], bool(m["has_gps"]), m["gps_lat"], m["gps_lon"])
+                )
+            out = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+            out["orientation"] = pd.array(out["orientation"], dtype="Int32")
+            yield pd.DataFrame(out, columns=cols)
+
+    return images.select("image_id", "bytes").mapInPandas(run, EXIF_STATS_SCHEMA)
+
+
+SCRUB_EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("had_gps", T.BooleanType()),
+    ]
+)
+
+
+def scrub_exif_gps(images: DataFrame) -> DataFrame:
+    """GPS-PII scrub over the binary image column (exif.py::strip_gps):
+    the GPS IFD and its pointer entry are removed from the APP1 and every
+    other EXIF entry is re-laid-out verbatim — camera metadata survives,
+    the entropy-coded pixels are byte-identical, and GPS-less payloads
+    pass through untouched (had_gps=false). This is the image-side twin
+    of textstats' pii_scrub: location EXIF is PII baked into the
+    container, and a crawled-image corpus must shed it before training.
+    One Arrow batch stage, no decode."""
+    from .. import exif as X
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, had = [], [], []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                raw = bytes(data)
+                try:
+                    cleaned = X.strip_gps(raw)
+                except Exception:
+                    cleaned = raw
+                ids.append(iid)
+                outs.append(cleaned)
+                had.append(cleaned != raw)
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": outs, "had_gps": had},
+                columns=["image_id", "bytes", "had_gps"],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(run, SCRUB_EXIF_SCHEMA)

@@ -24,12 +24,13 @@ sorted by (request_id, seq) equals the sequential oracle's visit order.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.robots import policy_for_status, robots_sitemaps
 from ..functions.url import (
+    canonicalize_url,
     is_crawl_trap,
     py_canonicalize_url,
     py_is_crawl_trap,
@@ -45,7 +46,11 @@ from ..operators.frontier import FOLD_IN_COLS, admit_links, assign_seqs, gate_fo
 from ..operators.politeness import admit_prefix, py_robots_policy_allowed, robots_gate
 from ..sources.lake import Catalog, upsert_chunks_with_stale_delete
 
-SITEMAP_MAX_DEPTH, SITEMAP_MAX_FILES, SITEMAP_HARD_CAP = 3, 20, 10_000
+from ..operators.sitemaps import (  # noqa: E402 (single source for the caps)
+    SITEMAP_HARD_CAP,
+    SITEMAP_MAX_DEPTH,
+    SITEMAP_MAX_FILES,
+)
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -367,45 +372,15 @@ class CrawlRunner:
     def _discover_sitemap_pages(self, seed: str, declared: list[str], max_pages: int) -> list[str]:
         """sitemap::discover (sitemap.rs:17-75) over the sitemaps dim.
 
-        Driver-side on purpose: the file BFS is capped at 20 files / depth 3
-        per request (sitemap.rs:13-15) — a dimension lookup, not dataflow.
-        """
-        sm = self.sitemaps_pdf
-        initial = declared or [py_origin(seed) + "/sitemap.xml"]
-        queue = [(u, 0) for u in initial if py_same_origin(seed, u)]
-        files: set[str] = set()
-        pages: list[str] = []
-        limit = min(max_pages * 4, SITEMAP_HARD_CAP)
-        while queue:
-            url, depth = queue.pop(0)
-            if len(files) >= SITEMAP_MAX_FILES or len(pages) >= limit or depth > SITEMAP_MAX_DEPTH:
-                break
-            if url in files:
-                continue
-            files.add(url)
-            entries = sm[sm.sitemap_url == url]
-            if entries.empty:
-                continue
-            found = entries[entries.kind == "url"]
-            found = found[found["loc"].map(lambda l: py_same_origin(seed, l)).astype(bool)]
-            found = found.sort_values("lastmod", ascending=False, kind="stable")
-            pages.extend(found["loc"].tolist())
-            del pages[limit:]
-            if depth < SITEMAP_MAX_DEPTH:
-                nested = entries[entries.kind == "sitemap"]
-                nested = nested[nested["loc"].map(lambda l: py_same_origin(seed, l)).astype(bool)]
-                nested = nested.sort_values("lastmod", ascending=False, kind="stable")
-                queue.extend((l, depth + 1) for l in nested["loc"])
-        seen: set[str] = set()
-        out = []
-        for u in pages:
-            c = py_canonicalize_url(u)
-            if c and c not in seen:
-                seen.add(c)
-                out.append(c)
-                if len(out) >= limit:
-                    break
-        return out
+        Driver-side on purpose for the interactive admit path: the file BFS
+        is capped at 20 files / depth 3 per request (sitemap.rs:13-15) — a
+        dimension lookup, not dataflow. The sequential loop itself lives in
+        operators/sitemaps.py next to its distributed twin
+        (sitemap_bulk_discover — the fleet-sized path); tests assert the
+        two produce identical pages in identical order."""
+        from ..operators.sitemaps import py_discover_sitemap_pages
+
+        return py_discover_sitemap_pages(self.sitemaps_pdf, seed, declared, max_pages)
 
     def admit_requests(self, seeds_pdf: pd.DataFrame) -> list[int]:
         """add_crawl_request + seed-time sitemap seeding (crawl_loop.rs:61-69,
@@ -463,6 +438,115 @@ class CrawlRunner:
         )
         self.t_state.commit(self.spark.createDataFrame(state_rows, STATE_SCHEMA), mode="overwrite")
         return accepted
+
+    def admit_requests_bulk(self, seeds: DataFrame, sitemaps: DataFrame | None = None) -> list[int]:
+        """admit_requests for a FLEET: the whole seed batch — canonical
+        gate, robots check, declared-sitemap extraction, and the per-request
+        sitemap BFS — as one declarative plan (operators/sitemaps.py::
+        sitemap_bulk_discover), with no per-seed driver loop. Same tables,
+        same rows, same seqs as the sequential path (tests assert exact
+        equality); the driver only collects the bounded accepted-id list.
+
+        seeds: (request_id, url, max_pages, max_depth, same_domain[,
+        use_browser]). sitemaps: the parsed (sitemap_url, kind, loc,
+        lastmod) relation — defaults to the runner's dim."""
+        from ..operators.sitemaps import robots_sitemaps_col, sitemap_bulk_discover
+
+        if sitemaps is None:
+            sitemaps = self.spark.createDataFrame(
+                self.sitemaps_pdf[["sitemap_url", "kind", "loc", "lastmod"]]
+            )
+        s = seeds
+        if "use_browser" not in s.columns:
+            s = s.withColumn("use_browser", F.lit(False))
+        canon = (
+            s.withColumn("seed", canonicalize_url(F.col("url")))
+            .filter(F.col("seed").isNotNull() & ~is_crawl_trap(F.col("seed")))
+            .withColumn("origin", url_origin(F.col("seed")))
+            .select(
+                "request_id", "seed", "origin", "max_pages", "max_depth",
+                "same_domain", "use_browser",
+            )
+        ).persist()
+        try:
+            req_rows = canon.select(
+                F.col("request_id").cast("long"),
+                F.col("seed").alias("seed_url"),
+                F.col("origin").alias("seed_origin"),
+                F.col("max_pages").cast("int"),
+                F.col("max_depth").cast("int"),
+                F.col("same_domain").cast("boolean"),
+                F.col("use_browser").cast("boolean"),
+            )
+            self.t_requests.commit(req_rows)
+            self._invalidate_requests()
+
+            # robots gate on the SEED url decides sitemap seeding only — the
+            # seed itself always enters the frontier (the fetch-time gate
+            # re-checks), exactly as the sequential path
+            gated = robots_gate(
+                canon.select("request_id", "origin", F.col("seed").alias("url"), "max_pages"),
+                self.robots_dim,
+                salt=1,
+            )
+            dim = self.robots_dim.select("origin", "entry_body")
+            discover_reqs = (
+                gated.filter(F.col("robots_allowed_flag"))
+                .join(F.broadcast(dim), "origin", "left")
+                .select(
+                    "request_id",
+                    F.col("url").alias("seed"),
+                    robots_sitemaps_col(F.col("entry_body")).alias("declared"),
+                    "max_pages",
+                )
+            )
+            pages = sitemap_bulk_discover(discover_reqs, sitemaps)
+            sm_rows = (
+                pages.join(
+                    canon.select("request_id", "seed"), "request_id"
+                )
+                .filter(~is_crawl_trap(F.col("page_url")) & (F.col("page_url") != F.col("seed")))
+                .withColumn(
+                    "seq2",
+                    F.row_number().over(
+                        Window.partitionBy("request_id").orderBy("seq")
+                    )
+                    + F.lit(1),
+                )
+                .select(
+                    F.col("request_id").cast("long"),
+                    F.col("page_url").alias("url"),
+                    url_host(F.col("page_url")).alias("host"),
+                    F.lit(1).alias("depth"),
+                    F.col("seq2").cast("long").alias("seq"),
+                )
+            )
+            seed_rows = canon.select(
+                F.col("request_id").cast("long"),
+                F.col("seed").alias("url"),
+                url_host(F.col("seed")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(1).cast("long").alias("seq"),
+            )
+            frontier = seed_rows.unionByName(sm_rows).select(
+                F.col("request_id").cast("long"),
+                "url",
+                "host",
+                F.col("depth").cast("int"),
+                F.col("seq").cast("long"),
+            )
+            frontier.persist()
+            self.t_frontier.commit(frontier, mode="overwrite")
+            state = frontier.groupBy("request_id").agg(F.max("seq").alias("max_seq")).select(
+                "request_id",
+                F.lit(0).cast("long").alias("crawled_so_far"),
+                F.col("max_seq").cast("long"),
+            )
+            self.t_state.commit(state, mode="overwrite")
+            frontier.unpersist()
+            return sorted(r.request_id for r in canon.select("request_id").collect())
+        finally:
+            canon.unpersist()
 
     @staticmethod
     def _bulk_seed_rows(urls: DataFrame) -> DataFrame:
