@@ -6484,3 +6484,163 @@ SQL_TPCH_Q12_SHAPE = """
 
 QUERIES["tpch_q12_shape"] = q_tpch_q12_shape
 ORACLES["tpch_q12_shape"] = SQL_TPCH_Q12_SHAPE
+
+
+def q_tpch_q7(spark, sf_dir) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue between a nation PAIR (either
+    direction) by ship year. Two independent nation-dim joins (supplier's
+    and customer's) — both broadcast; the OR-of-pairs predicate lands on
+    the joined row, the facts shuffle on their join keys only."""
+    n1, n2 = "NATION_3", "NATION_7"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q10(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 returned-item losses: top-20 customers by revenue on
+    'R'-flagged lineitems in one quarter-year window. The top-20 cut runs
+    on exact basis-point revenue (ties by custkey) so it is cross-engine
+    stable; nation dim broadcasts; the cut itself is orderBy+limit — a
+    distributed TakeOrderedAndProject (per-partition local top-20, driver
+    merge), NOT an unpartitioned row_number window."""
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01").cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("rev_bp"))
+    )
+    return (
+        agg.orderBy(F.desc("rev_bp"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_bp") / 10000.0).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+SQL_TPCH_Q10 = """
+    WITH agg AS (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                      AS BIGINT)) AS rev_bp
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name)
+    SELECT c_custkey, c_name, rev_bp / 10000.0 AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM (SELECT *, row_number() OVER (ORDER BY rev_bp DESC, c_custkey) AS rn
+          FROM agg)
+    WHERE rn <= 20
+"""
+
+
+def q_tpch_q14_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q14 promo-revenue shape: percentage of one month's revenue
+    from a part class ('ECONOMY' stands in for 'PROMO%' — the fixture's
+    p_type domain). Both the numerator and denominator are exact
+    basis-point longs; the single final division is the same two-long
+    IEEE op in both engines — zero float noise."""
+    lo = F.lit("1996-03-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0)))
+            / F.sum(rev)
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14_SHAPE = """
+    SELECT CAST(100.0 AS DOUBLE)
+           * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                                 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+           / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+QUERIES["tpch_q7"] = q_tpch_q7
+ORACLES["tpch_q7"] = SQL_TPCH_Q7
+QUERIES["tpch_q10"] = q_tpch_q10
+ORACLES["tpch_q10"] = SQL_TPCH_Q10
+QUERIES["tpch_q14_shape"] = q_tpch_q14_shape
+ORACLES["tpch_q14_shape"] = SQL_TPCH_Q14_SHAPE
