@@ -209,7 +209,8 @@ def bench_queries(spark, sf_dir) -> dict[str, float]:
         "hard_negatives", "aspect_buckets", "perplexity_bigram",
         "quality_classifier", "recrawl_schedule", "dedup_paragraphs",
         "inverted_postings", "dsir_select", "postings_refresh",
-        "tpch_q5", "warc_roundtrip", "ivfpq_topk",
+        "tpch_q5", "warc_roundtrip", "ivfpq_topk", "sitemap_bulk",
+        "cdx_index", "exif_stats",
     ]:
         t0 = time.time()
         n = EQ.QUERIES[name](spark, sf_dir).count()

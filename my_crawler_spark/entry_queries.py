@@ -2039,6 +2039,44 @@ def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_label_propagation(spark, sf_dir) -> DataFrame:
+    """Synchronous label-propagation communities over the crawl link graph
+    (operators/graph.py::label_propagation): 8 fixed rounds, most-frequent
+    neighbor label, ties -> smallest — deterministic by construction, so
+    the DuckDB twin replays every round exactly."""
+    from .operators.graph import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), iters=8)
+
+
+def _lpa_sql(iters: int = 8) -> str:
+    levels = []
+    for k in range(1, iters + 1):
+        levels.append(
+            f"""lp{k} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT u.a AS node, p.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY u.a
+                                  ORDER BY count(*) DESC, p.label ASC) AS rn
+        FROM und u JOIN lp{k - 1} p ON u.b = p.node
+        GROUP BY u.a, p.label) WHERE rn = 1)"""
+        )
+    joined = ",\n    ".join(levels)
+    return f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS a, src AS b FROM edges WHERE src <> dst),
+    lp0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+    {joined}
+    SELECT node, label FROM lp{iters}
+"""
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql()
+
+
 def q_dedup_clusters(spark, sf_dir) -> DataFrame:
     """Transitive duplicate clusters over the n-gram Jaccard pairs:
     connected components (min-label + pointer doubling), canonical
@@ -5617,6 +5655,8 @@ SQL_CDX_INDEX = """
 
 QUERIES["cdx_index"] = q_cdx_index
 ORACLES["cdx_index"] = SQL_CDX_INDEX
+QUERIES["label_propagation"] = q_label_propagation
+ORACLES["label_propagation"] = SQL_LABEL_PROPAGATION
 
 
 # --- WARC round trip ------------------------------------------------------------

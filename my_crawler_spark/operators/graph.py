@@ -343,3 +343,62 @@ def deterministic_walks(
             choice, cur[f"c{k - 1}"] == choice["node"], "left"
         ).drop("node")
     return cur.select("start", *[f"c{k}" for k in range(1, steps + 1)])
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): every node starts as its own label; each round it adopts
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label. -> (node, label) after `iters` rounds.
+
+    Determinism by construction: classic async LPA is visit-order
+    dependent — useless for a distributed engine or a cross-engine
+    oracle — so this is the synchronous fixed-iteration variant with a
+    total tie order, replayable bit-for-bit in SQL. Self-loops are
+    dropped (a node's own current label does not vote).
+
+    Plan per round: one shuffle join (labels onto the undirected edge
+    list) + one partial-aggregable groupBy(node, label) count + one
+    min(struct(-cnt, label)) argmax — no windows. Rounds are parquet-
+    checkpointed (the iterative-lineage discipline shared by pagerank /
+    hits / connected components: persist does NOT truncate the analyzed
+    plan; a written round does)."""
+    spark = edges.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="lpa_")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    try:
+        und.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        ).write.mode("overwrite").parquet(f"{ckpt}/it0")
+        for it in range(1, iters + 1):
+            labels = spark.read.parquet(f"{ckpt}/it{it - 1}")
+            votes = (
+                und.join(labels, und["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            (
+                votes.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("l"))
+                    ).alias("best")
+                )
+                .select("node", F.col("best.l").alias("label"))
+                .write.mode("overwrite")
+                .parquet(f"{ckpt}/it{it}")
+            )
+        return spark.read.parquet(f"{ckpt}/it{iters}")
+    finally:
+        und.unpersist()

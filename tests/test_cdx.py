@@ -96,3 +96,31 @@ def test_surt_groups_host_prefix_range(spark):
         assert got[u].startswith("com,example"), u
     assert not got["https://example.net/"].startswith("com,example,")
     assert not got["https://zzz.other.org/x"].startswith("com,example")
+
+
+def test_cdx_parquet_prefix_scan_pushes_down(spark, tmp_path):
+    """The at-scale lookup story: the index written as range-sorted parquet
+    serves a surt-prefix probe with a PUSHED filter (row-group stats prune
+    shards whose [min,max] surt range misses the prefix) and prunes the
+    read schema to the probed columns."""
+    rows = [
+        (f"https://h{i % 8}.example.com/p{i:04d}",
+         datetime(2026, 1, 1, tzinfo=timezone.utc))
+        for i in range(500)
+    ]
+    recs = spark.createDataFrame(rows, "url string, fetched_at timestamp")
+    out = str(tmp_path / "cdx")
+    cdx_index(recs, shards=8).write.parquet(out)
+    probe = (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("surt") >= "com,example,h3)")
+            & (F.col("surt") < "com,example,h3*")
+        )
+        .select("surt", "ts14")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(surt" in plan
+    assert probe.count() > 0
+    got = [r["surt"] for r in probe.collect()]
+    assert all(s.startswith("com,example,h3)") for s in got)

@@ -157,3 +157,39 @@ def test_triangle_orientation_bounds_hub_wedges(spark):
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got["hub"] == 0 and got["s0"] == 0
     assert all(got[f"c{i}"] == 6 for i in range(5))  # each K5 node: C(4,2)
+
+
+def test_label_propagation_two_cliques_and_python_twin(spark):
+    from my_crawler_spark.operators.graph import label_propagation
+
+    # two 5-cliques bridged by a single edge; labels must converge to one
+    # label per clique (the min node id of each), bridge notwithstanding
+    def clique(prefix, n):
+        ids = [f"{prefix}{i}" for i in range(n)]
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique("a", 5) + clique("b", 5) + [("a0", "b0")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, iters=8).collect()}
+
+    # python twin: same synchronous rounds, same tie rule
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    labels = {n: n for n in und}
+    for _ in range(8):
+        new = {}
+        for n, nbrs in und.items():
+            cnt = {}
+            for b in nbrs:
+                cnt[labels[b]] = cnt.get(labels[b], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    assert got == labels
+    # communities: every a* node shares one label, every b* another
+    a_labels = {got[f"a{i}"] for i in range(5)}
+    b_labels = {got[f"b{i}"] for i in range(5)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
