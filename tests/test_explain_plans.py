@@ -355,3 +355,60 @@ def test_bulk_seed_plan_no_single_partition(spark):
         assert by_seq == sorted(by_seq)
     finally:
         rows._graft_persisted.unpersist()
+
+
+def test_sitemap_bulk_plan_partitioned_by_request(spark):
+    """The fleet sitemap BFS must keep every window partitioned by
+    request_id — no unpartitioned Window, no SinglePartition exchange: the
+    whole point over the sequential loop is that a million requests fan
+    out, so one global stage anywhere re-serializes the fleet."""
+    import pandas as pd
+
+    from my_crawler_spark.operators.sitemaps import sitemap_bulk_discover
+
+    reqs = spark.createDataFrame(
+        [(i, f"https://h{i}.example.com/", [], 10) for i in range(6)],
+        "request_id long, seed string, declared array<string>, max_pages int",
+    )
+    sm = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sitemap_url": [f"https://h{i}.example.com/sitemap.xml" for i in range(6)],
+                "kind": ["url"] * 6,
+                "loc": [f"https://h{i}.example.com/p" for i in range(6)],
+                "lastmod": [pd.Timestamp("2026-01-01")] * 6,
+            }
+        )
+    )
+    out = sitemap_bulk_discover(reqs, sm)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    # every window carries the request_id partition key
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "request_id" in m.group(0), m.group(0)
+    assert out.count() == 6
+
+
+def test_cdx_index_plan_is_range_partitioned(spark):
+    """The CDX index sorts by (surt, ts14) through rangepartitioning —
+    per-shard local sorts after a sampled range exchange, never a global
+    single-task sort."""
+    from datetime import datetime, timezone
+
+    from my_crawler_spark.operators.cdx import cdx_index
+
+    recs = spark.createDataFrame(
+        [
+            (f"https://h{i % 4}.example.com/p{i}",
+             datetime(2026, 1, 1, tzinfo=timezone.utc))
+            for i in range(100)
+        ],
+        "url string, fetched_at timestamp",
+    )
+    idx = cdx_index(recs, shards=4)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(surt" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Sort [surt" in plan, plan
