@@ -5659,6 +5659,111 @@ QUERIES["label_propagation"] = q_label_propagation
 ORACLES["label_propagation"] = SQL_LABEL_PROPAGATION
 
 
+def q_zorder_events(spark, sf_dir) -> DataFrame:
+    """Z-order (Morton) clustering key over events (operators/zorder.py):
+    bit-interleave of (user_id, event second), the layout key that lets a
+    100 TB table prune parquet row groups on BOTH probe dimensions. Pure
+    unrolled JVM bit expression; the DuckDB twin recomputes the same
+    integer arithmetic."""
+    from .operators.zorder import zorder_key2
+
+    e = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long").bitwiseAND(F.lit(0xFFFF))
+    usr = F.col("user_id").bitwiseAND(F.lit(0xFFFF))
+    return e.select("event_id", zorder_key2(usr, sec, bits=16).alias("zkey"))
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"((u // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+            f" + ((s // {1 << i}) % 2) * {1 << (2 * i)}"
+        )
+    expr = "\n           + ".join(terms)
+    return f"""
+    SELECT event_id,
+           CAST({expr} AS BIGINT) AS zkey
+    FROM (
+      SELECT event_id,
+             user_id % 65536 AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) % 65536 AS s
+      FROM events)
+"""
+
+
+SQL_ZORDER_EVENTS = _zorder_sql()
+QUERIES["zorder_events"] = q_zorder_events
+ORACLES["zorder_events"] = SQL_ZORDER_EVENTS
+
+
+def _packed_bins(spark, sf_dir):
+    from .operators.dedup import tokens as _tok
+    from .operators.sampling import pack_best_fit
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(_tok(F.col("text"))).alias("tokens"),
+    ).where(F.col("tokens") > 0)
+    return d, pack_best_fit(d, max_tokens=256)
+
+
+def q_pack_bins(spark, sf_dir) -> DataFrame:
+    """Best-fit-decreasing bin packing (operators/sampling.py::
+    pack_best_fit) — whole-document sequence packing for SFT-style
+    training. Rows-only (the greedy is sequential per shard); validity +
+    the at-most-one-half-empty-bin greedy invariant are `pack_bins_sound`;
+    the exact assignment has a python twin in tests/test_clusters_sampling."""
+    _, packed = _packed_bins(spark, sf_dir)
+    return packed
+
+
+def q_pack_bins_sound(spark, sf_dir) -> DataFrame:
+    """Violations must be empty: (a) every input doc packed exactly once,
+    (b) no bin over max_tokens unless it is a single oversize doc, (c) per
+    shard at most ONE bin at <= max_tokens/2 fill (any fit-first greedy
+    guarantees it — a second half-empty bin's first doc would have fit in
+    the first)."""
+    d, packed = _packed_bins(spark, sf_dir)
+    packed.persist()
+    cnt = packed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dup_or_missing = (
+        d.join(cnt, "doc_id", "left")
+        .filter(F.coalesce(F.col("n"), F.lit(0)) != 1)
+        .select(F.col("doc_id").cast("long"), F.lit("not_exactly_once").alias("reason"))
+    )
+    fills = packed.groupBy("shard", "bin_id").agg(
+        F.sum("tokens").alias("fill"), F.count(F.lit(1)).alias("docs")
+    )
+    overfull = fills.filter(
+        (F.col("fill") > 256) & (F.col("docs") > 1)
+    ).select(
+        F.col("bin_id").cast("long").alias("doc_id"),
+        F.lit("overfull_bin").alias("reason"),
+    )
+    half_empty = (
+        fills.filter(F.col("fill") <= 128)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("he"))
+        .filter(F.col("he") > 1)
+        .select(F.col("shard").cast("long").alias("doc_id"),
+                F.lit("two_half_empty_bins").alias("reason"))
+    )
+    return dup_or_missing.unionByName(overfull).unionByName(half_empty)
+
+
+SQL_PACK_BINS_SOUND = """
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+
+QUERIES["pack_bins"] = q_pack_bins
+QUERIES["pack_bins_sound"] = q_pack_bins_sound
+ORACLES["pack_bins_sound"] = SQL_PACK_BINS_SOUND
+
+
 # --- WARC round trip ------------------------------------------------------------
 
 

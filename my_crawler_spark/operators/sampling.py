@@ -302,3 +302,54 @@ def weighted_sample(
         .orderBy(F.asc("es_key"), F.col(key_col))
         .limit(k)
     )
+
+
+def pack_best_fit(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Bin-packing sequence packing (best-fit-decreasing) — the
+    no-truncation alternative to ``pack_sequences``: documents are never
+    split; each lands whole in one training sequence (bin), the layout SFT
+    /instruction-tuning pipelines want. -> (shard, bin_id, doc_id, tokens).
+
+    Per shard (deterministic): docs sorted (tokens DESC, id ASC); each doc
+    goes to the FULLEST open bin that still fits (ties -> lowest bin id),
+    else opens a new bin. A doc longer than max_tokens gets a bin of its
+    own (truncation is the trainer's policy, not the packer's). Greedy
+    packing is inherently sequential, so it runs per shard in one
+    applyInPandas batch — shard sizes are the caller's lever (compose with
+    balanced_shards); shards pack in parallel and the per-shard work is
+    O(n·bins).
+
+    Falsifiable quality invariant (checked by the sound oracle): any
+    fit-first greedy leaves AT MOST ONE bin at <= max_tokens/2 fill per
+    shard — a second half-empty bin's first doc would have fit in the
+    first. Validity: per-bin fill <= max_tokens unless the bin holds one
+    oversize doc; every doc appears exactly once."""
+    import pandas as pd
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([tokens_col, id_col], ascending=[False, True])
+        fills: list[int] = []
+        assign = []
+        for t in pdf[tokens_col].astype(int):
+            best = -1
+            for i, f in enumerate(fills):
+                if f + t <= max_tokens and (best < 0 or f > fills[best]):
+                    best = i
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += t
+            assign.append(best)
+        out = pdf[[shard_col, id_col, tokens_col]].copy()
+        out.insert(1, "bin_id", assign)
+        return out
+
+    t = docs.select(shard_col, id_col, F.col(tokens_col).cast("long").alias(tokens_col))
+    schema = f"{shard_col} long, bin_id int, {id_col} long, {tokens_col} long"
+    return t.groupBy(shard_col).applyInPandas(pack, schema)

@@ -209,3 +209,48 @@ def test_weighted_sample_matches_python_twin_and_is_weight_monotone(spark):
     )
     heavy = sum(1 for r in weighted_sample(big, "id", "w", 200).collect() if r["id"] % 2 == 0)
     assert heavy > 170
+
+
+def test_pack_best_fit_matches_python_twin_and_invariants(spark):
+    from my_crawler_spark.operators.sampling import pack_best_fit
+
+    rows = [(i, i % 3, [120, 200, 90, 60, 256, 300, 30, 10][i % 8]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, tokens long")
+    got = pack_best_fit(df, max_tokens=256).collect()
+
+    # python twin per shard: BFD with fullest-fits-first, ties lowest bin
+    def twin(items):
+        items = sorted(items, key=lambda r: (-r[1], r[0]))
+        fills, assign = [], {}
+        for did, t in items:
+            best = -1
+            for i, f in enumerate(fills):
+                if f + t <= 256 and (best < 0 or f > fills[best]):
+                    best = i
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += t
+            assign[did] = best
+        return assign, fills
+
+    by_shard = {}
+    for did, sh, t in rows:
+        by_shard.setdefault(sh, []).append((did, t))
+    for sh, items in by_shard.items():
+        want, fills = twin(items)
+        got_sh = {r["doc_id"]: r["bin_id"] for r in got if r["shard"] == sh}
+        assert got_sh == want, sh
+        # invariants: every doc once; bins valid; <=1 half-empty bin
+        assert len(got_sh) == len(items)
+        by_bin = {}
+        for did, b in got_sh.items():
+            by_bin.setdefault(b, []).append(dict(items)[did])
+        for b, ts in by_bin.items():
+            assert sum(ts) <= 256 or len(ts) == 1, (sh, b)
+        assert sum(1 for ts in by_bin.values() if sum(ts) <= 128) <= 1, sh
+    # the oversize doc (300 tokens) sits alone in its bin
+    for r in got:
+        if r["tokens"] == 300:
+            mates = [x for x in got if x["shard"] == r["shard"] and x["bin_id"] == r["bin_id"]]
+            assert len(mates) == 1
