@@ -6789,3 +6789,363 @@ QUERIES["tpch_q10"] = q_tpch_q10
 ORACLES["tpch_q10"] = SQL_TPCH_Q10
 QUERIES["tpch_q14_shape"] = q_tpch_q14_shape
 ORACLES["tpch_q14_shape"] = SQL_TPCH_Q14_SHAPE
+
+
+def q_tpch_q8(spark, sf_dir) -> DataFrame:
+    """TPC-H Q8 national market share: of the AMERICA-customer revenue on
+    ECONOMY parts over 1995-1996, what fraction was supplied by NATION_3,
+    per order year. Part / nation / region dims broadcast; the two fact
+    joins shuffle on their keys. Share is a ratio of two exact-bp sums so
+    the division is the only float op (rounded 6 dp both engines)."""
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_c = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), supp.s_nationkey == F.col("sn_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).alias("nat_bp"),
+        F.sum(rev).alias("all_bp"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nat_bp") / F.col("all_bp"), 6).alias("mkt_share"),
+        (F.col("all_bp") / 10000.0).alias("total_revenue"),
+    ).orderBy("o_year")
+
+
+SQL_TPCH_Q8 = """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                          THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                          * 10000.0 + 0.5) AS BIGINT)
+                          ELSE 0 END)
+                 * 1.0
+                 / sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000.0 + 0.5) AS BIGINT)), 6) AS mkt_share,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                    AS BIGINT)) / 10000.0 AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def q_tpch_q13_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT join so zero-order
+    customers land in the c_count=0 bucket (the query's whole point), with
+    the non-urgent-priority filter standing in for Q13's comment LIKE. Two
+    shuffles total: custkey count, then the tiny c_count regroup."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13_SHAPE = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark, sf_dir) -> DataFrame:
+    """TPC-H Q15 top supplier: per-supplier revenue over 1996Q1, keep the
+    supplier(s) hitting the max. The max is a 1-row aggregate broadcast back
+    onto the per-supplier relation — no unpartitioned window, and the
+    integer-bp revenue makes the max equality cross-engine stable."""
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_bp"))
+    top = per_supp.agg(F.max("rev_bp").alias("max_bp"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(top), F.col("rev_bp") == F.col("max_bp"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_bp") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                              + 0.5) AS BIGINT)) AS rev_bp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_bp / 10000.0 AS total_revenue
+    FROM revenue
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_bp = (SELECT max(rev_bp) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue for one brand: the correlated
+    `l_quantity < 0.2 * avg(per part)` subquery rewritten as a self-agg
+    join. The threshold compare runs in integers (qty_bp * 5 * cnt <
+    sum_qty_bp) so no float boundary can flip a row between engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#19")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.sum(_bp(F.col("l_quantity"))).alias("sum_qty_bp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li.join(F.broadcast(stats), F.col("l_partkey") == F.col("ap_key")).filter(
+        _bp(F.col("l_quantity")) * F.lit(5) * F.col("cnt") < F.col("sum_qty_bp")
+    )
+    return small.agg(
+        F.round(F.sum(_bp(F.col("l_extendedprice"))) / 10000.0 / 7.0, 6).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+SQL_TPCH_Q17_SHAPE = """
+    WITH branded AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#19'
+    ), stats AS (
+        SELECT l_partkey AS ap_key,
+               sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT))
+                 AS sum_qty_bp,
+               count(*) AS cnt
+        FROM branded GROUP BY l_partkey
+    )
+    SELECT round(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 / 7.0, 6) AS avg_yearly,
+           count(*) AS n_small
+    FROM branded JOIN stats ON l_partkey = ap_key
+    WHERE CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT) * 5 * cnt
+          < sum_qty_bp
+"""
+
+
+def q_tpch_q18(spark, sf_dir) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity exceeds
+    250, joined back to customer. The HAVING threshold runs on the integer
+    bp sum; ties under the LIMIT are broken by the full key chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum(_bp(F.col("l_quantity"))).alias("qty_bp")
+    ).filter(F.col("qty_bp") > F.lit(250) * F.lit(10000))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = big.join(orders, F.col("l_orderkey") == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+            "o_totalprice",
+            (F.col("qty_bp") / 10000.0).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+    WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS qty_bp
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING qty_bp > 250 * 10000
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+           o_totalprice, qty_bp / 10000.0 AS sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
+
+
+def q_tpch_q19_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q19 discounted revenue: OR-of-ANDs over three brand/size/
+    quantity bands — the classic disjunctive-predicate pushdown shape. The
+    part dim broadcasts; quantity bounds compare on integer bp."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    qbp = _bp(F.col("l_quantity"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 5)
+            & (qbp >= 1 * 10000) & (qbp <= 11 * 10000)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 10)
+            & (qbp >= 10 * 10000) & (qbp <= 20 * 10000)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 15)
+            & (qbp >= 20 * 10000) & (qbp <= 30 * 10000)
+        )
+    )
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            (F.sum(rev) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q19_SHAPE = """
+    SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+           AND CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)
+               BETWEEN 1 * 10000 AND 11 * 10000)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+           AND CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)
+               BETWEEN 10 * 10000 AND 20 * 10000)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+           AND CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)
+               BETWEEN 20 * 10000 AND 30 * 10000)
+"""
+
+
+def q_tpch_q22_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: customers with above-average
+    positive balance and no RECENT orders (none since 1999 — every synthetic
+    customer has some order, so the lapse cutoff keeps the anti-join
+    non-vacuous), rolled up by nation (standing in for the phone-prefix
+    country code the synthetic schema lacks). The average is a 1-row
+    broadcast and the threshold compares integers (bal_bp * cnt > sum_bp);
+    the no-recent-orders test is a left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_bp(F.col("c_acctbal"))).alias("sum_bp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        _bp(F.col("c_acctbal")) * F.col("cnt") > F.col("sum_bp")
+    )
+    lonely = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        lonely.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(_bp(F.col("c_acctbal"))) / 10000.0).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_TPCH_Q22_SHAPE = """
+    WITH pos AS (
+        SELECT sum(CAST(floor(c_acctbal * 10000.0 + 0.5) AS BIGINT)) AS sum_bp,
+               count(*) AS cnt
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           sum(CAST(floor(c_acctbal * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+             AS totacctbal
+    FROM customer, pos
+    WHERE CAST(floor(c_acctbal * 10000.0 + 0.5) AS BIGINT) * cnt > sum_bp
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+QUERIES["tpch_q8"] = q_tpch_q8
+ORACLES["tpch_q8"] = SQL_TPCH_Q8
+QUERIES["tpch_q13_shape"] = q_tpch_q13_shape
+ORACLES["tpch_q13_shape"] = SQL_TPCH_Q13_SHAPE
+QUERIES["tpch_q15"] = q_tpch_q15
+ORACLES["tpch_q15"] = SQL_TPCH_Q15
+QUERIES["tpch_q17_shape"] = q_tpch_q17_shape
+ORACLES["tpch_q17_shape"] = SQL_TPCH_Q17_SHAPE
+QUERIES["tpch_q18"] = q_tpch_q18
+ORACLES["tpch_q18"] = SQL_TPCH_Q18
+QUERIES["tpch_q19_shape"] = q_tpch_q19_shape
+ORACLES["tpch_q19_shape"] = SQL_TPCH_Q19_SHAPE
+QUERIES["tpch_q22_shape"] = q_tpch_q22_shape
+ORACLES["tpch_q22_shape"] = SQL_TPCH_Q22_SHAPE
