@@ -7149,3 +7149,361 @@ QUERIES["tpch_q19_shape"] = q_tpch_q19_shape
 ORACLES["tpch_q19_shape"] = SQL_TPCH_Q19_SHAPE
 QUERIES["tpch_q22_shape"] = q_tpch_q22_shape
 ORACLES["tpch_q22_shape"] = SQL_TPCH_Q22_SHAPE
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2/Q9/Q11/Q16/Q20/Q21 shapes — the six that classically need the
+# partsupp table (or l_commitdate), which the synthetic star schema lacks.
+# Each keeps the query's join/subquery STRUCTURE over a derived
+# part-supplier relation: lineitem grouped by (l_partkey, l_suppkey), with
+# min line price standing in for ps_supplycost and summed quantity for
+# ps_availqty, all in exact integer basis points. At 100 TB the derived
+# relation is one map-side-combinable shuffle on the pair key and is tiny
+# relative to the fact table, so every downstream "dim-like" use of it
+# (min-per-part, value threshold) broadcasts or re-shuffles cheaply.
+# --------------------------------------------------------------------------
+def _psl(spark, sf_dir) -> DataFrame:
+    """Derived part-supplier relation: min line price (bp) + total shipped
+    quantity (bp) per (l_partkey, l_suppkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(_bp(F.col("l_extendedprice"))).alias("cost_bp"),
+        F.sum(_bp(F.col("l_quantity"))).alias("avail_bp"),
+    )
+
+
+SQL_PSL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT))
+                 AS cost_bp,
+               sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT))
+                 AS avail_bp
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_tpch_q2_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier: for each LARGE part, the EUROPE
+    supplier(s) offering it at the per-part minimum derived cost. The
+    correlated min subquery is rewritten as a per-part agg broadcast back
+    onto the candidate relation — equality on integer bp, so no float
+    boundary; no window anywhere."""
+    psl = _psl(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cand = psl.join(F.broadcast(part), psl.ps_partkey == part.p_partkey).join(
+        supp, psl.ps_suppkey == supp.s_suppkey
+    )
+    mins = cand.groupBy(F.col("ps_partkey").alias("mp_key")).agg(
+        F.min("cost_bp").alias("min_bp")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (F.col("ps_partkey") == F.col("mp_key"))
+            & (F.col("cost_bp") == F.col("min_bp")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey"),
+            "p_name",
+            (F.col("cost_bp") / 10000.0).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2_SHAPE = f"""
+    WITH psl AS ({SQL_PSL}),
+    cand AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ps_partkey, cost_bp
+        FROM psl
+        JOIN part ON ps_partkey = p_partkey AND p_type = 'LARGE'
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           cost_bp / 10000.0 AS supplycost
+    FROM cand
+    WHERE cost_bp = (SELECT min(cost_bp) FROM cand c2
+                     WHERE c2.ps_partkey = cand.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q_tpch_q9_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q9 product-type profit by (supplier nation, order year) for
+    'red' parts. ps_supplycost is proxied by 40% of retail list value
+    (p_retailprice * l_quantity * 0.4) — the one float product, written in
+    the SAME left-assoc order in both engines before the bp floor."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost = _bp(F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.4))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(((F.sum(rev) - F.sum(cost)) / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9_SHAPE = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           (sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                     AS BIGINT))
+            - sum(CAST(floor(p_retailprice * l_quantity * 0.4 * 10000.0 + 0.5)
+                       AS BIGINT))) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+"""
+
+
+def q_tpch_q11_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q11 important stock: parts whose ASIA-supplied value exceeds
+    0.1% of the global ASIA total. The global total is a 1-row aggregate
+    broadcast back (NOT a window), and the threshold compares integers
+    (value_bp * 1000 > total_bp) so the fraction can't float-flip."""
+    psl = _psl(spark, sf_dir)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(F.col("s_suppkey").alias("as_key"))
+    scoped = psl.join(F.broadcast(supp), psl.ps_suppkey == F.col("as_key"))
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.sum(F.col("cost_bp") * (F.col("avail_bp") / F.lit(10000)).cast("long")).alias("value_bp")
+    )
+    total = per_part.agg(F.sum("value_bp").alias("total_bp"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_bp") * F.lit(1000) > F.col("total_bp"))
+        .select("ps_partkey", (F.col("value_bp") / 10000.0).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+SQL_TPCH_Q11_SHAPE = f"""
+    WITH psl AS ({SQL_PSL}),
+    per_part AS (
+        SELECT ps_partkey,
+               sum(cost_bp * CAST(avail_bp // 10000 AS BIGINT)) AS value_bp
+        FROM psl
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_bp / 10000.0 AS value
+    FROM per_part, (SELECT sum(value_bp) AS total_bp FROM per_part)
+    WHERE value_bp * 1000 > total_bp
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_tpch_q16_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q16 supplier-count distribution per (brand, type, size),
+    excluding one brand and PROMO parts, with negative-balance suppliers
+    standing in for Q16's complaint-comment NOT IN — expressed as a
+    left-anti join (the scalable anti-semantics, null-safe by construction
+    unlike SQL NOT IN)."""
+    psl = _psl(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    kept = psl.join(
+        F.broadcast(bad), psl.ps_suppkey == F.col("bad_key"), "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(part), kept.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+SQL_TPCH_Q16_SHAPE = f"""
+    WITH psl AS ({SQL_PSL})
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM psl
+    JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+"""
+
+
+def q_tpch_q20_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q20 excess-availability suppliers: EUROPE suppliers who, on
+    some 'red' part, shipped LESS in 1996 than across all other years
+    combined (total > 2x the 1996 quantity — the availqty > 0.5*shipped
+    test over the derived relation). The nested EXISTS chain becomes two
+    semi-joins; quantities compare as integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    yr = F.year("l_shipdate")
+    pairs = li.groupBy(
+        F.col("l_partkey").alias("gp_key"), F.col("l_suppkey").alias("gs_key")
+    ).agg(
+        F.sum(_bp(F.col("l_quantity"))).alias("total_bp"),
+        F.sum(F.when(yr == 1996, _bp(F.col("l_quantity"))).otherwise(F.lit(0))).alias(
+            "y96_bp"
+        ),
+    )
+    excess = pairs.filter(
+        (F.col("y96_bp") > 0) & (F.col("total_bp") > F.lit(2) * F.col("y96_bp"))
+    ).join(F.broadcast(part), F.col("gp_key") == part.p_partkey, "left_semi")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(
+            excess.select("gs_key").distinct(),
+            supp.s_suppkey == F.col("gs_key"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20_SHAPE = """
+    WITH pairs AS (
+        SELECT l_partkey AS gp_key, l_suppkey AS gs_key,
+               sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT))
+                 AS total_bp,
+               sum(CASE WHEN year(l_shipdate) = 1996
+                        THEN CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS y96_bp
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    WHERE s_suppkey IN (
+        SELECT gs_key FROM pairs
+        WHERE y96_bp > 0 AND total_bp > 2 * y96_bp
+          AND gp_key IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'red%')
+    )
+    ORDER BY s_name
+"""
+
+
+def q_tpch_q21_shape(spark, sf_dir) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting: in finished ('F')
+    multi-supplier orders, the supplier who was the ONLY late one (late =
+    shipped >30 days after the order date, standing in for receipt >
+    commit). The EXISTS / NOT EXISTS pair over other lineitems becomes one
+    per-order aggregate (distinct suppliers, distinct late suppliers)
+    joined back to the late pairs — two shuffles on l_orderkey, no
+    correlated per-row probes."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    fo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    per_order = fo.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_pairs = fo.filter(late).select("l_orderkey", "l_suppkey").distinct()
+    qual = late_pairs.join(
+        per_order,
+        (F.col("l_orderkey") == F.col("po_key"))
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late") == 1),
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        qual.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21_SHAPE = """
+    WITH fo AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey AS po_key,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        FROM fo GROUP BY 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM fo WHERE late) lp
+    JOIN per_order ON lp.l_orderkey = po_key AND n_supp > 1 AND n_late = 1
+    JOIN supplier ON lp.l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+QUERIES["tpch_q2_shape"] = q_tpch_q2_shape
+ORACLES["tpch_q2_shape"] = SQL_TPCH_Q2_SHAPE
+QUERIES["tpch_q9_shape"] = q_tpch_q9_shape
+ORACLES["tpch_q9_shape"] = SQL_TPCH_Q9_SHAPE
+QUERIES["tpch_q11_shape"] = q_tpch_q11_shape
+ORACLES["tpch_q11_shape"] = SQL_TPCH_Q11_SHAPE
+QUERIES["tpch_q16_shape"] = q_tpch_q16_shape
+ORACLES["tpch_q16_shape"] = SQL_TPCH_Q16_SHAPE
+QUERIES["tpch_q20_shape"] = q_tpch_q20_shape
+ORACLES["tpch_q20_shape"] = SQL_TPCH_Q20_SHAPE
+QUERIES["tpch_q21_shape"] = q_tpch_q21_shape
+ORACLES["tpch_q21_shape"] = SQL_TPCH_Q21_SHAPE
