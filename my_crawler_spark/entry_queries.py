@@ -7507,3 +7507,57 @@ QUERIES["tpch_q20_shape"] = q_tpch_q20_shape
 ORACLES["tpch_q20_shape"] = SQL_TPCH_Q20_SHAPE
 QUERIES["tpch_q21_shape"] = q_tpch_q21_shape
 ORACLES["tpch_q21_shape"] = SQL_TPCH_Q21_SHAPE
+
+
+# --------------------------------------------------------------------------
+# Bucketed-layout co-located join (sources/bucketed.py)
+# --------------------------------------------------------------------------
+def q_bucketed_join(spark, sf_dir) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed layout (sources/
+    bucketed.py): orders and lineitem are first persisted as 8-bucket
+    tables on the order key, then joined — the join plan has NO Exchange
+    on either side (asserted in tests/test_explain_plans.py); the only
+    shuffle left is the final small groupBy on priority. At 10^10 rows
+    this converts every downstream same-key join from a multi-TB shuffle
+    into an aligned per-bucket scan. Result is layout-independent, so the
+    DuckDB twin is the plain join-aggregate. l_quantity is integral by
+    construction — cast to long keeps the cross-engine sum exact."""
+    import os
+    import tempfile
+
+    from .sources.bucketed import bucketed_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="mcs_bucketed_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ot = write_bucketed(
+        o, "mcs_bucketed_orders", "o_orderkey", 8, os.path.join(base, "o")
+    )
+    lt = write_bucketed(
+        li, "mcs_bucketed_lineitem", "l_orderkey", 8, os.path.join(base, "l")
+    )
+    j = bucketed_join(ot, lt, "o_orderkey", "l_orderkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_BUCKETED_JOIN = """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+QUERIES["bucketed_join"] = q_bucketed_join
+ORACLES["bucketed_join"] = SQL_BUCKETED_JOIN

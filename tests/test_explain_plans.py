@@ -412,3 +412,35 @@ def test_cdx_index_plan_is_range_partitioned(spark):
     assert "rangepartitioning(surt" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Sort [surt" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed 4/4 on the join key -> the SortMergeJoin is fed
+    straight from the FileScans: zero Exchange in the join plan. The same
+    files read WITHOUT the catalog bucket spec shuffle both sides — the
+    layout, not the data, is what buys the shuffle-free plan."""
+    from my_crawler_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k2"), (F.col("id") * 3).alias("vb")
+    )
+    at = write_bucketed(a, "t_bkt_a", "k", 4, str(tmp_path / "a"))
+    bt = write_bucketed(b, "t_bkt_b", "k2", 4, str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(at, bt, "k", "k2")
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+
+        fa = spark.read.parquet(str(tmp_path / "a"))
+        fb = spark.read.parquet(str(tmp_path / "b"))
+        ctrl = explain_str(fa.join(fb, fa.k == fb.k2))
+        assert "Exchange" in ctrl, ctrl
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
