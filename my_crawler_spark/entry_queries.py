@@ -7561,3 +7561,51 @@ SQL_BUCKETED_JOIN = """
 
 QUERIES["bucketed_join"] = q_bucketed_join
 ORACLES["bucketed_join"] = SQL_BUCKETED_JOIN
+
+
+# --------------------------------------------------------------------------
+# Explicit skew-salted join (operators/skew.py)
+# --------------------------------------------------------------------------
+def q_salted_join(spark, sf_dir) -> DataFrame:
+    """Replicate-salted equi-join (operators/skew.py::salted_join): the
+    named hot part keys are scattered over 8 salts on the fact side while
+    the dim side replicates only those keys 8-fold — the planned-hot-key
+    discipline the crawl uses for image-stats fan-out, exposed as a
+    reusable operator. The salt provably does not change the result: the
+    DuckDB twin is the PLAIN join-aggregate, hash-matched."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("seq"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    j = salted_join(
+        li, p, on="partkey", dist_col="seq", n_salt=8,
+        hot_keys=[555, 558, 817],
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_SALTED_JOIN = """
+    SELECT p_brand,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+QUERIES["salted_join"] = q_salted_join
+ORACLES["salted_join"] = SQL_SALTED_JOIN
