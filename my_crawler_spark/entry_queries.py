@@ -7609,3 +7609,222 @@ SQL_SALTED_JOIN = """
 
 QUERIES["salted_join"] = q_salted_join
 ORACLES["salted_join"] = SQL_SALTED_JOIN
+
+
+# --------------------------------------------------------------------------
+# REAL audio (RIFF/WAVE, wav.py) and video (AVI/MJPEG, avi.py) decode —
+# closes the round-4 "audio/video env-gated" gap with from-scratch codecs
+# --------------------------------------------------------------------------
+def _wav_media_table(spark, sf_dir) -> DataFrame:
+    """(media_id, bytes) REAL RIFF/WAVE payloads: media w-K (K = p_partkey
+    <= 120) is (2 + K%4) seconds of 16-bit mono PCM at 1000 Hz whose sample
+    i is the exact integer ((K*2654435761 + i*40503) % 65536) - 32768.
+    The sample law is pure int64 arithmetic, so DuckDB can regenerate the
+    DECODED samples from first principles and the twins below hash-match
+    real codec output — proving wav.py end-to-end, not just plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    from . import wav
+
+    part = _t(spark, sf_dir, "part").select("p_partkey").where(
+        F.col("p_partkey") <= 120
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                n = 1000 * (2 + k % 4)
+                v = (
+                    (k * 2654435761 + np.arange(n, dtype=np.int64) * 40503)
+                    % 65536
+                ) - 32768
+                rows.append((f"w-{k}", wav.encode_wav(v.astype(np.int16), 1000)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return part.mapInPandas(gen, "media_id string, bytes binary")
+
+
+def q_wav_segments(spark, sf_dir) -> DataFrame:
+    """Fixed-window segmentation over REAL WAV binary payloads: duration
+    and rate come from parsing the actual RIFF/WAVE header (wav.wav_info),
+    not a fixture side-channel — the DuckDB twin regenerates the expected
+    grid from the media law, so a hash match proves the header parse."""
+    from .operators.multimodal import segment_audio
+
+    return segment_audio(_wav_media_table(spark, sf_dir), window_s=1.0, hop_s=0.5)
+
+
+SQL_WAV_SEGMENTS = """
+    WITH media AS (
+      SELECT p_partkey AS k, 1000 * (2 + p_partkey % 4) AS n
+      FROM part WHERE p_partkey <= 120
+    )
+    SELECT 'w-' || k AS media_id,
+           CAST(g.i AS INT) AS seg_index,
+           0.5 * g.i AS start_s,
+           0.5 * g.i + 1.0 AS end_s,
+           CAST(1000 AS BIGINT) AS n_samples
+    FROM media, LATERAL (
+      SELECT unnest(generate_series(0, CAST(n / 500 - 2 AS BIGINT))) AS i
+    ) g
+"""
+
+
+def q_wav_segment_energy(spark, sf_dir) -> DataFrame:
+    """REAL PCM decode + exact int64 windowed energy/peak per segment
+    (operators/multimodal.py::audio_segment_energy over wav.py). The DuckDB
+    twin recomputes every sample from the media law and aggregates the SAME
+    integers — a bit-exact full-decode oracle over real audio bitstreams."""
+    from .operators.multimodal import audio_segment_energy
+
+    return audio_segment_energy(
+        _wav_media_table(spark, sf_dir), window_s=1.0, hop_s=0.5
+    )
+
+
+SQL_WAV_SEGMENT_ENERGY = """
+    WITH media AS (
+      SELECT p_partkey AS k, 1000 * (2 + p_partkey % 4) AS n
+      FROM part WHERE p_partkey <= 120
+    ),
+    segs AS (
+      SELECT k, CAST(g.i AS INT) AS seg_index
+      FROM media, LATERAL (
+        SELECT unnest(generate_series(0, CAST(n / 500 - 2 AS BIGINT))) AS i
+      ) g
+    ),
+    samples AS (
+      SELECT s.k, s.seg_index,
+             ((s.k * 2654435761 + j.i * 40503) % 65536) - 32768 AS v
+      FROM segs s, LATERAL (
+        SELECT unnest(generate_series(s.seg_index * 500, s.seg_index * 500 + 999)) AS i
+      ) j
+    )
+    SELECT 'w-' || k AS media_id, seg_index,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY 1, 2
+"""
+
+
+def _avi_source_frame(k: int, i: int) -> "np.ndarray":
+    """Deterministic 16x16 RGB source frame i of video v-K — shared by the
+    fixture encoder and the PSNR sound oracle so 'decoded vs source' is a
+    real lossy-roundtrip comparison, not self-referential."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    return np.stack(
+        [
+            (yy * 16 + i * 7 + k) % 256,
+            (xx * 16 + k * 3) % 256,
+            ((yy + xx) * 8 + i) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _avi_media_table(spark, sf_dir) -> DataFrame:
+    """(media_id, bytes) REAL AVI/MJPEG payloads: video v-K (K = p_partkey
+    <= 24) has 4 + K%3 frames of deterministic 16x16 RGB at 4 fps, each
+    frame a baseline JPEG from the from-scratch encoder at quality 98
+    (the >= 40 dB PSNR operating point)."""
+    import pandas as pd
+
+    from . import avi
+
+    part = _t(spark, sf_dir, "part").select("p_partkey").where(
+        F.col("p_partkey") <= 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                frames = [_avi_source_frame(k, i) for i in range(4 + k % 3)]
+                rows.append((f"v-{k}", avi.encode_avi_mjpeg(frames, fps=4.0)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return part.mapInPandas(gen, "media_id string, bytes binary")
+
+
+def q_video_frames_real(spark, sf_dir) -> DataFrame:
+    """REAL video frame sampling + decode over AVI/MJPEG binary columns
+    (operators/multimodal.py::video_frame_stats): sample at 2 fps from the
+    4 fps stream, decode only the sampled JPEGs, emit per-frame phash64.
+    Rows-only (the phash rides a lossy roundtrip); the paired
+    `video_decode_sound` twin re-decodes and enforces PSNR >= 40 dB vs the
+    regenerated source pixels — the graft contract's per-row invariant."""
+    from .operators.multimodal import video_frame_stats
+
+    return video_frame_stats(_avi_media_table(spark, sf_dir), target_fps=2.0)
+
+
+def q_video_decode_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for `video_frames_real`: re-walk every AVI
+    payload, decode each SAMPLED frame and regenerate its source pixels
+    from the media law, then flag (a) PSNR < 40 dB (lossy-format
+    invariant), (b) shape != 16x16, (c) frame_index off the 2-per-second
+    grid, (d) per-media sampled-frame count != ceil(n_frames / 2) —
+    vacuity-guarded: a media id that emits nothing IS a violation."""
+    from . import avi, codecs
+    from .operators.multimodal import video_frame_stats
+
+    stats = video_frame_stats(_avi_media_table(spark, sf_dir), target_fps=2.0)
+    bad_rows = stats.where(
+        ~F.col("decode_ok")
+        | (F.col("w") != 16)
+        | (F.col("h") != 16)
+        | (F.col("frame_index") % 2 != 0)
+        | (F.abs(F.col("ts_s") - F.col("frame_index") / 4.0) > 1e-9)
+    ).select("media_id", F.lit("bad_frame").alias("reason"))
+
+    k = F.split(F.col("media_id"), "-").getItem(1).cast("long")
+    want = F.ceil((F.lit(4) + k % 3) / F.lit(2)).cast("long")
+    counts = stats.groupBy("media_id").agg(F.count(F.lit(1)).alias("got"))
+    expected = _avi_media_table(spark, sf_dir).select("media_id", "bytes")
+    bad_counts = (
+        expected.select("media_id")
+        .join(counts, "media_id", "left")
+        .where(F.col("got").isNull() | (F.col("got") != want))
+        .select("media_id", F.lit("bad_count").alias("reason"))
+    )
+
+    def psnr_check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                k = int(mid.split("-")[1])
+                for fi, payload in avi.iter_avi_frames(bytes(data)):
+                    if fi % 2:
+                        continue
+                    px = codecs.decode_image(payload)
+                    if codecs.psnr(_avi_source_frame(k, fi), px) < 40.0:
+                        rows.append((mid, "psnr_below_40"))
+            yield pd.DataFrame(rows, columns=["media_id", "reason"])
+
+    bad_psnr = expected.mapInPandas(psnr_check, "media_id string, reason string")
+    return bad_rows.unionByName(bad_counts).unionByName(bad_psnr)
+
+
+SQL_VIDEO_DECODE_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+
+QUERIES["wav_segments"] = q_wav_segments
+ORACLES["wav_segments"] = SQL_WAV_SEGMENTS
+QUERIES["wav_segment_energy"] = q_wav_segment_energy
+ORACLES["wav_segment_energy"] = SQL_WAV_SEGMENT_ENERGY
+QUERIES["video_frames_real"] = q_video_frames_real
+QUERIES["video_decode_sound"] = q_video_decode_sound
+ORACLES["video_decode_sound"] = SQL_VIDEO_DECODE_SOUND

@@ -4,11 +4,13 @@ Images/audio/video ride as ``binary`` columns with metadata structs; all
 processing is Arrow-batched ``mapInPandas`` — schema, batch shape and
 partitioning are real and tested. Decoders:
 
-- images: real (pure-python PNG + deterministic fake-lossy, codecs.py)
-- audio/video: STUBBED — the container has no codec libs, so
-  ``decode_audio``/``sample_video_frames`` raise NotImplementedError unless
-  the payload uses the deterministic fake container produced by
-  ``fake_media_payload`` (which lets the plumbing be tested end-to-end).
+- images: real (pure-numpy PNG + baseline JPEG, codecs.py / jpeg.py)
+- audio: REAL for RIFF/WAVE payloads (pure-numpy PCM/float codec, wav.py);
+  video: REAL for AVI/MJPEG payloads (container parse + the from-scratch
+  JPEG codec, avi.py). The deterministic fake container
+  (``fake_media_payload``) remains supported for formats with no in-repo
+  codec (webp video streams etc.); anything else raises
+  NotImplementedError with the environment note.
 
 Operators:
 - decode_stats     : decode + (w, h, mean_luma, phash) per image row
@@ -23,8 +25,12 @@ Operators:
 - caption_alignment: cross-modal alignment score per (image, caption)
   row — the CLIP-filtering slot of a LAION-style curation pipeline,
   with deterministic stand-in encoders and real Spark plumbing
-- sample_video_frames: frame indices at a target fps from the fake
-  container's metadata (decode itself stubbed)
+- sample_video_frames: frame indices at a target fps from container
+  metadata (real AVI/MJPEG or fake; header-only)
+- audio_segment_energy: REAL PCM decode (wav.py) -> exact int64 windowed
+  energy/peak per segment
+- video_frame_stats : REAL frame decode (avi.py + jpeg.py) -> per-sampled-
+  frame (w, h, phash64), lazy container walk
 """
 
 from __future__ import annotations
@@ -54,15 +60,36 @@ def fake_media_payload(kind: str, duration_s: float, rate: int, seed: int) -> by
     return head + zlib.compress(body, 1)
 
 
-def _parse_fake_media(data: bytes) -> tuple[str, float, int]:
-    if data[:10] != _FAKE_MEDIA_MAGIC:
-        raise NotImplementedError(
-            "real audio/video decode needs codec libs not present in this "
-            "container; only the deterministic fake container is supported"
-        )
-    kind = data[10:15].rstrip(b" ").decode()
-    duration, rate = struct.unpack(">fI", data[15:23])
-    return kind, float(duration), int(rate)
+def _parse_media(data: bytes) -> tuple[str, float, float]:
+    """Sniff a media payload -> (kind, duration_s, rate).
+
+    REAL containers first: RIFF/WAVE via the pure-numpy wav codec
+    (rate = sample rate) and RIFF/AVI MJPEG via the container parser
+    (rate = fps) — both header-only O(1) parses, no payload decode.
+    Falls back to the deterministic fake container; anything else is the
+    documented environment gate (no third-party codec libs here)."""
+    if data[:10] == _FAKE_MEDIA_MAGIC:
+        kind = data[10:15].rstrip(b" ").decode()
+        duration, rate = struct.unpack(">fI", data[15:23])
+        return kind, float(duration), float(rate)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        from .. import wav
+
+        n, rate, _ch, _bits, _fmt = wav.wav_info(data)
+        return "audio", n / rate, float(rate)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from .. import avi
+
+        n, fps, _w, _h = avi.avi_info(data)
+        return "video", n / fps, float(fps)
+    raise NotImplementedError(
+        "unrecognized media container: real decode beyond RIFF/WAVE and "
+        "AVI/MJPEG needs codec libs not present in this environment"
+    )
+
+
+# Back-compat alias (original stub-era name; same contract, narrower input).
+_parse_fake_media = _parse_media
 
 
 DECODE_STATS_SCHEMA = T.StructType(
@@ -295,18 +322,20 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_video_frames(media: DataFrame, target_fps: float = 1.0) -> DataFrame:
-    """Frame-sampling plan from the fake container's metadata; the pixel
-    decode itself is the stubbed step (see module docstring)."""
+    """Frame-index sampling at a target fps from container metadata — a
+    header-only O(1) parse per row (real AVI/MJPEG and WAV via
+    ``_parse_media``, or the fake container). For sampled-frame PIXELS see
+    ``video_frame_stats``, which decodes the selected frames for real."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["bytes"]):
-                kind, duration, rate = _parse_fake_media(bytes(data))
+                kind, duration, rate = _parse_media(bytes(data))
                 if kind != "video":
                     continue
                 step = max(int(rate / target_fps), 1)
-                for fi in range(0, int(duration * rate), step):
+                for fi in range(0, int(round(duration * rate)), step):
                     rows.append((mid, fi, fi / rate))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
@@ -386,19 +415,20 @@ SEGMENT_SCHEMA = T.StructType(
 def segment_audio(
     media: DataFrame, window_s: float = 1.0, hop_s: float = 0.5
 ) -> DataFrame:
-    """Audio segmentation plan from the fake container's metadata — the
+    """Audio segmentation from container metadata (REAL RIFF/WAVE headers
+    via the pure-numpy wav codec, or the fake container) — the
     fixed-window/hop framing every audio featurizer (fbank/VAD/Whisper-style
-    chunking) starts from; the PCM decode itself is the stubbed step (see
-    module docstring: no codec libs in this container). Full windows only:
-    segment i covers [i*hop, i*hop + window] while it fits the duration.
-    Non-audio containers are skipped. One Arrow pass, schema/partitioning/
-    batch shape identical to a real decoder's."""
+    chunking) starts from; header-only, no PCM conversion. Full windows
+    only: segment i covers [i*hop, i*hop + window] while it fits the
+    duration. Non-audio containers are skipped. One Arrow pass. For
+    per-segment sample statistics over real PCM see
+    ``audio_segment_energy``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["bytes"]):
-                kind, duration, rate = _parse_fake_media(bytes(data))
+                kind, duration, rate = _parse_media(bytes(data))
                 if kind != "audio":
                     continue
                 si = 0
@@ -411,6 +441,126 @@ def segment_audio(
             yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
     return media.select("media_id", "bytes").mapInPandas(run, SEGMENT_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("seg_index", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def audio_segment_energy(
+    media: DataFrame, window_s: float = 1.0, hop_s: float = 0.5
+) -> DataFrame:
+    """REAL PCM decode + per-segment energy over RIFF/WAVE binary columns —
+    the first feature pass of any audio curation pipeline (VAD gating,
+    silence trimming, loudness bucketing all start from windowed energy).
+
+    Per full window [i*hop, i*hop + window): n_samples, sum of squared
+    samples and max |sample| — EXACT int64s over integer PCM (channel-summed
+    squares), so results are bit-identical across engines and the entry's
+    DuckDB oracle hash-matches instead of settling for a float tolerance.
+    Non-WAV payloads (fake containers, AVI video) are skipped.
+
+    Plan: one Arrow ``mapInPandas`` pass; per row the codec is whole-buffer
+    ``np.frombuffer`` + vectorized square/sum — no per-sample Python. At
+    10^10 rows this is map-only work partitioned by whatever key the media
+    table carries (no shuffle introduced)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import wav
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    continue
+                samples, rate = wav.decode_wav(data)
+                s = samples.astype(np.int64)
+                win = int(round(window_s * rate))
+                hop = int(round(hop_s * rate))
+                n = s.shape[0]
+                si = 0
+                while si * hop + win <= n:
+                    seg = s[si * hop : si * hop + win]
+                    rows.append(
+                        (
+                            mid,
+                            si,
+                            seg.shape[0],
+                            int((seg * seg).sum()),
+                            int(np.abs(seg).max(initial=0)),
+                        )
+                    )
+                    si += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in ENERGY_SCHEMA.fields])
+
+    return media.select("media_id", "bytes").mapInPandas(run, ENERGY_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("ts_s", T.DoubleType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame, target_fps: float = 1.0) -> DataFrame:
+    """REAL video frame decode over AVI/MJPEG binary columns: sample frames
+    at ``target_fps`` and decode ONLY the sampled ones through the
+    from-scratch JPEG codec -> (frame_index, ts, w, h, phash64) per frame —
+    the shot-sampling + perceptual-fingerprint pass a video training-data
+    pipeline runs before frame-level dedup/curation.
+
+    The container walk is lazy (``iter_avi_frames``), so at 1 fps over a
+    30 fps stream 29/30 frames are skipped WITHOUT paying JPEG cost.
+    Undecodable sampled frames keep a row with decode_ok=false (same
+    degradation contract as image decode_stats). Non-AVI payloads are
+    skipped. One Arrow pass, no shuffle introduced."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import avi
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+                    continue
+                _n, fps, _w, _h = avi.avi_info(data)
+                step = max(int(fps / target_fps), 1)
+                for fi, payload in avi.iter_avi_frames(data):
+                    if fi % step:
+                        continue
+                    try:
+                        px = codecs.decode_image(payload)
+                        rows.append(
+                            (mid, fi, fi / fps, px.shape[1], px.shape[0],
+                             codecs.phash64(px), True)
+                        )
+                    except Exception:
+                        rows.append((mid, fi, fi / fps, None, None, None, False))
+            cols = [f.name for f in FRAME_STATS_SCHEMA.fields]
+            out = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+            # nullable Int64 — same Arrow float64-inference hazard as
+            # decode_stats (a None would silently truncate every phash)
+            for c in ("w", "h", "phash"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "bytes").mapInPandas(run, FRAME_STATS_SCHEMA)
 
 
 # SDXL-style resolution buckets: ~1024^2 pixels at 64-px-aligned aspect

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -301,3 +302,73 @@ def test_jpeg_quality_column_recovers_encoder_setting(spark):
     df = spark.createDataFrame(rows, "q long, payload binary")
     got = {r["q"]: r["jpeg_quality"] for r in jpeg_quality_column(df).collect()}
     assert got == {5: 5, 37: 37, 92: 92, 0: None}
+
+
+# ---------------------------------------------------------------------------
+# REAL audio (RIFF/WAVE) and video (AVI/MJPEG) paths through the same
+# operators — the round-4 env-gate closed by wav.py / avi.py
+# ---------------------------------------------------------------------------
+def test_segment_audio_real_wav(spark):
+    from my_crawler_spark import wav
+
+    x = np.arange(3500, dtype=np.int16)  # 3.5 s at 1 kHz
+    media = spark.createDataFrame(
+        [("real", wav.encode_wav(x, 1000)),
+         ("vid", MM.fake_media_payload("video", 2.0, 10, 1))],
+        "media_id string, bytes binary",
+    )
+    got = MM.segment_audio(media, window_s=1.0, hop_s=0.5).collect()
+    assert {r.media_id for r in got} == {"real"}
+    # segments: i*0.5 + 1.0 <= 3.5 -> i in 0..5 -> 6 windows of 1000 samples
+    assert sorted(r.seg_index for r in got) == list(range(6))
+    assert all(r.n_samples == 1000 for r in got)
+
+
+def test_audio_segment_energy_exact(spark):
+    from my_crawler_spark import wav
+
+    x = (np.arange(2500, dtype=np.int64) * 37 % 65536 - 32768).astype(np.int16)
+    media = spark.createDataFrame(
+        [("m", wav.encode_wav(x, 1000)), ("junk", b"FAKEMEDIA1audi" + b"\x00" * 9)],
+        "media_id string, bytes binary",
+    )
+    got = {r.seg_index: r for r in MM.audio_segment_energy(media).collect()}
+    assert set(got) == {0, 1, 2, 3}  # i*500 + 1000 <= 2500
+    s = x.astype(np.int64)
+    for i, r in got.items():
+        seg = s[i * 500 : i * 500 + 1000]
+        assert r.media_id == "m"
+        assert r.n_samples == 1000
+        assert r.sum_sq == int((seg * seg).sum())
+        assert r.peak == int(np.abs(seg).max())
+
+
+def test_video_frame_stats_real_decode(spark):
+    from my_crawler_spark import avi
+    from my_crawler_spark.codecs import phash64
+
+    frames = [make_pixels(5, i, 16, 16) for i in range(7)]
+    media = spark.createDataFrame(
+        [("v", avi.encode_avi_mjpeg(frames, fps=4.0, quality=98)),
+         ("aud", MM.fake_media_payload("audio", 2.0, 100, 3))],
+        "media_id string, bytes binary",
+    )
+    got = {r.frame_index: r for r in MM.video_frame_stats(media, target_fps=2.0).collect()}
+    assert set(got) == {0, 2, 4, 6}  # every 2nd frame of the 4 fps stream
+    for fi, r in got.items():
+        assert r.media_id == "v" and r.decode_ok and (r.w, r.h) == (16, 16)
+        assert abs(r.ts_s - fi / 4.0) < 1e-9
+        # lossy roundtrip: perceptual hash within 2 bits of the source frame
+        assert bin(r.phash ^ phash64(frames[fi])).count("1") <= 2
+
+
+def test_sample_video_frames_real_avi_metadata(spark):
+    from my_crawler_spark import avi
+
+    frames = [make_pixels(6, i, 8, 8) for i in range(10)]
+    media = spark.createDataFrame(
+        [("v", avi.encode_avi_mjpeg(frames, fps=5.0))],
+        "media_id string, bytes binary",
+    )
+    got = MM.sample_video_frames(media, target_fps=1.0).collect()
+    assert sorted(r.frame_index for r in got) == [0, 5]  # 2 s at 1 fps
