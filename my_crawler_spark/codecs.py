@@ -10,6 +10,11 @@ The container has no PIL/libjpeg/libwebp, so:
   restart markers); conformance-oracled against Java's javax.imageio in
   tests/test_jpeg.py. Default quality 98 keeps the >=40 dB lossy
   invariant (BASELINE.json input_hint) on the noisiest fixture images.
+- ``gif``  : a real GIF 87a/89a codec (``gif.py``) — LZW, interlace,
+  palettes, transparency, animation; conformance-oracled against Java's
+  javax.imageio in tests/test_bmp_gif.py. Lossless for <=256-color input.
+- ``bmp``  : a real uncompressed BI_RGB codec (``bmp.py``, 8/24/32-bit) —
+  same ImageIO conformance oracle. Lossless.
 - ``webp`` : a clearly-marked DETERMINISTIC FAKE lossy codec (uniform
   quantization + zlib) standing in for VP8. The Spark-side plumbing
   (binary column, Arrow batch shape, phash verify, PSNR invariant) is
@@ -152,19 +157,39 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from . import jpeg
 
         return jpeg.encode_jpeg(pixels, quality=98)
+    if fmt == "gif":
+        from . import gif
+
+        return gif.encode_gif(pixels)
+    if fmt == "bmp":
+        from . import bmp
+
+        return bmp.encode_bmp(pixels)
     if fmt == "webp":
         return encode_fake_lossy(pixels, fmt)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff + decode. This is the function the E10 Arrow UDF batches over."""
+    """Sniff + decode. This is the function the E10 Arrow UDF batches over.
+
+    Real from-scratch codecs: PNG, baseline JPEG (jpeg.py), GIF 87a/89a
+    (gif.py), uncompressed BMP (bmp.py). webp remains the documented
+    environment gate (VP8 needs libwebp/PIL, absent here)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         from . import jpeg
 
         return jpeg.decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from . import gif
+
+        return gif.decode_gif(data)
+    if data[:2] == b"BM":
+        from . import bmp
+
+        return bmp.decode_bmp(data)
     if data[:10] == _FAKE_MAGIC:
         return decode_fake_lossy(data)
     raise NotImplementedError(

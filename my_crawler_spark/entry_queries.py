@@ -7828,3 +7828,111 @@ ORACLES["wav_segment_energy"] = SQL_WAV_SEGMENT_ENERGY
 QUERIES["video_frames_real"] = q_video_frames_real
 QUERIES["video_decode_sound"] = q_video_decode_sound
 ORACLES["video_decode_sound"] = SQL_VIDEO_DECODE_SOUND
+
+
+# --------------------------------------------------------------------------
+# All-format image decode: PNG + JPEG + GIF + BMP real from-scratch codecs
+# through one decode_stats pass (webp stays the documented fake-codec gate)
+# --------------------------------------------------------------------------
+_ALLFMT_CYCLE = ("png", "jpeg", "gif", "bmp", "webp")
+
+
+def _allfmt_pixels(k: int) -> tuple[str, "np.ndarray"]:
+    """Deterministic (fmt, 20x20 RGB pixels) for image i-K: format cycles
+    through the five supported codecs; GIF input is drawn from a 64-color
+    palette (the format's own constraint), the rest are full-range noise."""
+    import numpy as np
+
+    from .fixtures import make_pixels
+
+    fmt = _ALLFMT_CYCLE[k % 5]
+    if fmt == "gif":
+        rng = np.random.default_rng(k)
+        pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+        return fmt, pal[rng.integers(0, 64, (20, 20))]
+    return fmt, make_pixels(21, k, 20, 20)
+
+
+def _allfmt_table(spark, sf_dir) -> DataFrame:
+    """(image_id, fmt, bytes) with REAL bitstreams for png/jpeg/gif/bmp and
+    the documented deterministic fake for webp."""
+    import pandas as pd
+
+    from . import codecs
+
+    part = _t(spark, sf_dir, "part").select("p_partkey").where(
+        F.col("p_partkey") <= 100
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                fmt, px = _allfmt_pixels(k)
+                rows.append((f"i-{k}", fmt, codecs.encode_image(px, fmt)))
+            yield pd.DataFrame(rows, columns=["image_id", "fmt", "bytes"])
+
+    return part.mapInPandas(gen, "image_id string, fmt string, bytes binary")
+
+
+def q_image_decode_all_formats(spark, sf_dir) -> DataFrame:
+    """One sniffing decode pass (E10) over five image formats — four REAL
+    from-scratch codecs (PNG, baseline JPEG, GIF 87a/89a, BMP) and the
+    documented webp stand-in. Rows-only; the `decode_all_sound` twin
+    re-derives every phash from regenerated source pixels."""
+    from .operators.multimodal import decode_stats
+
+    return decode_stats(_allfmt_table(spark, sf_dir))
+
+
+def q_decode_all_sound(spark, sf_dir) -> DataFrame:
+    """Empty-violations oracle for `image_decode_all_formats`: regenerate
+    each image's source pixels from the fixture law, then require
+    (a) decode_ok on every row, (b) w = h = 20, (c) phash EXACTLY equal to
+    the source phash for the lossless codecs (png/gif/bmp — their decode
+    must be bit-perfect) and within 2 Hamming bits for the lossy ones
+    (jpeg q98 / fake-webp, both >= 40 dB), (d) every fixture id present
+    (vacuity guard)."""
+    import pandas as pd
+
+    from . import codecs
+    from .operators.multimodal import decode_stats
+
+    stats = decode_stats(_allfmt_table(spark, sf_dir))
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for iid, w, h, ph, ok in zip(
+                pdf["image_id"], pdf["w"], pdf["h"], pdf["phash"], pdf["decode_ok"]
+            ):
+                k = int(iid.split("-")[1])
+                fmt, px = _allfmt_pixels(k)
+                if not ok or w != 20 or h != 20:
+                    rows.append((iid, "bad_decode"))
+                    continue
+                dist = bin(int(ph) ^ codecs.phash64(px)).count("1")
+                limit = 0 if fmt in ("png", "gif", "bmp") else 2
+                if dist > limit:
+                    rows.append((iid, f"phash_off_{fmt}"))
+            yield pd.DataFrame(rows, columns=["image_id", "reason"])
+
+    bad = stats.mapInPandas(check, "image_id string, reason string")
+    missing = (
+        _allfmt_table(spark, sf_dir)
+        .select("image_id")
+        .join(stats.select("image_id"), "image_id", "left_anti")
+        .select("image_id", F.lit("missing").alias("reason"))
+    )
+    return bad.unionByName(missing)
+
+
+SQL_DECODE_ALL_SOUND = """
+    SELECT CAST(NULL AS VARCHAR) AS image_id, CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0
+"""
+
+QUERIES["image_decode_all_formats"] = q_image_decode_all_formats
+QUERIES["decode_all_sound"] = q_decode_all_sound
+ORACLES["decode_all_sound"] = SQL_DECODE_ALL_SOUND

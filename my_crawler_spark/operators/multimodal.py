@@ -82,6 +82,12 @@ def _parse_media(data: bytes) -> tuple[str, float, float]:
 
         n, fps, _w, _h = avi.avi_info(data)
         return "video", n / fps, float(fps)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .. import gif
+
+        n, total_cs, _w, _h = gif.gif_info(data)
+        rate = n * 100.0 / total_cs if total_cs else 10.0
+        return "video", n / rate, rate
     raise NotImplementedError(
         "unrecognized media container: real decode beyond RIFF/WAVE and "
         "AVI/MJPEG needs codec libs not present in this environment"
@@ -518,40 +524,56 @@ FRAME_STATS_SCHEMA = T.StructType(
 
 
 def video_frame_stats(media: DataFrame, target_fps: float = 1.0) -> DataFrame:
-    """REAL video frame decode over AVI/MJPEG binary columns: sample frames
-    at ``target_fps`` and decode ONLY the sampled ones through the
-    from-scratch JPEG codec -> (frame_index, ts, w, h, phash64) per frame —
-    the shot-sampling + perceptual-fingerprint pass a video training-data
+    """REAL video frame decode over binary columns — AVI/MJPEG (avi.py +
+    the from-scratch JPEG codec) and animated GIF (gif.py): sample frames
+    at ``target_fps`` -> (frame_index, ts, w, h, phash64) per frame — the
+    shot-sampling + perceptual-fingerprint pass a video training-data
     pipeline runs before frame-level dedup/curation.
 
-    The container walk is lazy (``iter_avi_frames``), so at 1 fps over a
-    30 fps stream 29/30 frames are skipped WITHOUT paying JPEG cost.
-    Undecodable sampled frames keep a row with decode_ok=false (same
-    degradation contract as image decode_stats). Non-AVI payloads are
-    skipped. One Arrow pass, no shuffle introduced."""
+    The AVI container walk is lazy (``iter_avi_frames``), so at 1 fps over
+    a 30 fps stream 29/30 frames skip WITHOUT paying JPEG cost; GIF frames
+    composite onto a shared canvas so all must decode, and ts is the exact
+    cumulative per-frame delay. Undecodable sampled AVI frames keep a row
+    with decode_ok=false (same degradation contract as image decode_stats).
+    Other payloads are skipped. One Arrow pass, no shuffle introduced."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .. import avi
+        from .. import avi, gif
 
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["bytes"]):
                 data = bytes(data)
-                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
-                    continue
-                _n, fps, _w, _h = avi.avi_info(data)
-                step = max(int(fps / target_fps), 1)
-                for fi, payload in avi.iter_avi_frames(data):
-                    if fi % step:
-                        continue
-                    try:
-                        px = codecs.decode_image(payload)
-                        rows.append(
-                            (mid, fi, fi / fps, px.shape[1], px.shape[0],
-                             codecs.phash64(px), True)
-                        )
-                    except Exception:
-                        rows.append((mid, fi, fi / fps, None, None, None, False))
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    _n, fps, _w, _h = avi.avi_info(data)
+                    step = max(int(fps / target_fps), 1)
+                    for fi, payload in avi.iter_avi_frames(data):
+                        if fi % step:
+                            continue
+                        try:
+                            px = codecs.decode_image(payload)
+                            rows.append(
+                                (mid, fi, fi / fps, px.shape[1], px.shape[0],
+                                 codecs.phash64(px), True)
+                            )
+                        except Exception:
+                            rows.append((mid, fi, fi / fps, None, None, None, False))
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: frames composite onto a shared canvas,
+                    # so ALL frames decode (no lazy skip possible); ts is
+                    # the exact cumulative per-frame delay, not a constant
+                    # rate — GIFs may vary delay mid-stream
+                    n, total_cs, _w, _h = gif.gif_info(data)
+                    rate = n * 100.0 / total_cs if total_cs else 10.0
+                    step = max(int(rate / target_fps), 1)
+                    t_cs = 0
+                    for fi, (delay, px) in enumerate(gif.decode_gif_frames(data)):
+                        if fi % step == 0:
+                            rows.append(
+                                (mid, fi, t_cs / 100.0, px.shape[1],
+                                 px.shape[0], codecs.phash64(px), True)
+                            )
+                        t_cs += delay
             cols = [f.name for f in FRAME_STATS_SCHEMA.fields]
             out = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
             # nullable Int64 — same Arrow float64-inference hazard as

@@ -372,3 +372,23 @@ def test_sample_video_frames_real_avi_metadata(spark):
     )
     got = MM.sample_video_frames(media, target_fps=1.0).collect()
     assert sorted(r.frame_index for r in got) == [0, 5]  # 2 s at 1 fps
+
+
+def test_video_frame_stats_animated_gif(spark):
+    from my_crawler_spark import gif
+    from my_crawler_spark.codecs import phash64
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 64, (16, 16))] for _ in range(8)]
+    # 8 frames at 25 cs each -> 2 s, 4 fps; sample at 2 fps -> frames 0,2,4,6
+    media = spark.createDataFrame(
+        [("g", gif.encode_gif_frames(frames, delay_cs=25))],
+        "media_id string, bytes binary",
+    )
+    got = {r.frame_index: r for r in MM.video_frame_stats(media, target_fps=2.0).collect()}
+    assert set(got) == {0, 2, 4, 6}
+    for fi, r in got.items():
+        assert r.decode_ok and (r.w, r.h) == (16, 16)
+        assert abs(r.ts_s - fi * 0.25) < 1e-9
+        assert r.phash == phash64(frames[fi])  # GIF is lossless
