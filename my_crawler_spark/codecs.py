@@ -15,11 +15,13 @@ The container has no PIL/libjpeg/libwebp, so:
   javax.imageio in tests/test_bmp_gif.py. Lossless for <=256-color input.
 - ``bmp``  : a real uncompressed BI_RGB codec (``bmp.py``, 8/24/32-bit) —
   same ImageIO conformance oracle. Lossless.
-- ``webp`` : a clearly-marked DETERMINISTIC FAKE lossy codec (uniform
-  quantization + zlib) standing in for VP8. The Spark-side plumbing
-  (binary column, Arrow batch shape, phash verify, PSNR invariant) is
-  real and tested; only the bitstream is fake (step=4 -> PSNR ~46 dB).
-  If PIL is importable, the real codec is used instead (gated import).
+- ``webp`` : a real, spec-conformant WebP LOSSLESS codec (``vp8l.py``)
+  — RIFF/WEBP container, VP8L bitstream: prefix codes, colour cache,
+  LZ77 backrefs, all four transforms on decode. Lossless, so the
+  >=40 dB input_hint invariant holds trivially (PSNR = inf). Only the
+  lossy VP8 chunk remains the documented environment gate (a full VP8
+  intra-frame decoder needs libwebp/PIL, absent here). The legacy
+  deterministic fake-lossy stream stays decodable for back-compat.
 
 Also: ``phash64`` — the canonical 32x32-DCT / 8x8-lowfreq / median
 perceptual hash used as the per-row ground truth (graft analogue of the
@@ -166,7 +168,9 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
         return bmp.encode_bmp(pixels)
     if fmt == "webp":
-        return encode_fake_lossy(pixels, fmt)
+        from . import vp8l
+
+        return vp8l.encode_webp(pixels)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -174,8 +178,8 @@ def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode. This is the function the E10 Arrow UDF batches over.
 
     Real from-scratch codecs: PNG, baseline JPEG (jpeg.py), GIF 87a/89a
-    (gif.py), uncompressed BMP (bmp.py). webp remains the documented
-    environment gate (VP8 needs libwebp/PIL, absent here)."""
+    (gif.py), uncompressed BMP (bmp.py), WebP lossless/VP8L (vp8l.py).
+    Only lossy-VP8 webp remains the documented environment gate."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
@@ -190,11 +194,15 @@ def decode_image(data: bytes) -> np.ndarray:
         from . import bmp
 
         return bmp.decode_bmp(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from . import vp8l
+
+        return vp8l.decode_webp(data)
     if data[:10] == _FAKE_MAGIC:
         return decode_fake_lossy(data)
     raise NotImplementedError(
-        "real webp bitstreams need PIL (not in this container); "
-        "fixtures use the deterministic fake codec for webp"
+        "unrecognized image container: decode beyond "
+        "PNG/JPEG/GIF/BMP/VP8L needs codec libs not in this environment"
     )
 
 

@@ -7831,8 +7831,8 @@ ORACLES["video_decode_sound"] = SQL_VIDEO_DECODE_SOUND
 
 
 # --------------------------------------------------------------------------
-# All-format image decode: PNG + JPEG + GIF + BMP real from-scratch codecs
-# through one decode_stats pass (webp stays the documented fake-codec gate)
+# All-format image decode: PNG + JPEG + GIF + BMP + WebP/VP8L — all five
+# REAL from-scratch codecs — through one decode_stats sniffing pass
 # --------------------------------------------------------------------------
 _ALLFMT_CYCLE = ("png", "jpeg", "gif", "bmp", "webp")
 
@@ -7854,8 +7854,8 @@ def _allfmt_pixels(k: int) -> tuple[str, "np.ndarray"]:
 
 
 def _allfmt_table(spark, sf_dir) -> DataFrame:
-    """(image_id, fmt, bytes) with REAL bitstreams for png/jpeg/gif/bmp and
-    the documented deterministic fake for webp."""
+    """(image_id, fmt, bytes) with REAL bitstreams for all five formats
+    (webp is the from-scratch VP8L lossless codec, vp8l.py)."""
     import pandas as pd
 
     from . import codecs
@@ -7877,9 +7877,9 @@ def _allfmt_table(spark, sf_dir) -> DataFrame:
 
 
 def q_image_decode_all_formats(spark, sf_dir) -> DataFrame:
-    """One sniffing decode pass (E10) over five image formats — four REAL
-    from-scratch codecs (PNG, baseline JPEG, GIF 87a/89a, BMP) and the
-    documented webp stand-in. Rows-only; the `decode_all_sound` twin
+    """One sniffing decode pass (E10) over five image formats — all REAL
+    from-scratch codecs (PNG, baseline JPEG, GIF 87a/89a, BMP, and
+    WebP lossless/VP8L). Rows-only; the `decode_all_sound` twin
     re-derives every phash from regenerated source pixels."""
     from .operators.multimodal import decode_stats
 
@@ -7890,9 +7890,9 @@ def q_decode_all_sound(spark, sf_dir) -> DataFrame:
     """Empty-violations oracle for `image_decode_all_formats`: regenerate
     each image's source pixels from the fixture law, then require
     (a) decode_ok on every row, (b) w = h = 20, (c) phash EXACTLY equal to
-    the source phash for the lossless codecs (png/gif/bmp — their decode
-    must be bit-perfect) and within 2 Hamming bits for the lossy ones
-    (jpeg q98 / fake-webp, both >= 40 dB), (d) every fixture id present
+    the source phash for the lossless codecs (png/gif/bmp/webp-VP8L —
+    their decode must be bit-perfect) and within 2 Hamming bits for the
+    one lossy codec (jpeg q98, >= 40 dB), (d) every fixture id present
     (vacuity guard)."""
     import pandas as pd
 
@@ -7913,7 +7913,7 @@ def q_decode_all_sound(spark, sf_dir) -> DataFrame:
                     rows.append((iid, "bad_decode"))
                     continue
                 dist = bin(int(ph) ^ codecs.phash64(px)).count("1")
-                limit = 0 if fmt in ("png", "gif", "bmp") else 2
+                limit = 0 if fmt in ("png", "gif", "bmp", "webp") else 2
                 if dist > limit:
                     rows.append((iid, f"phash_off_{fmt}"))
             yield pd.DataFrame(rows, columns=["image_id", "reason"])

@@ -4,7 +4,8 @@ Images/audio/video ride as ``binary`` columns with metadata structs; all
 processing is Arrow-batched ``mapInPandas`` — schema, batch shape and
 partitioning are real and tested. Decoders:
 
-- images: real (pure-numpy PNG + baseline JPEG, codecs.py / jpeg.py)
+- images: real (pure-numpy PNG, baseline JPEG, GIF, BMP, and WebP
+  lossless/VP8L — codecs.py / jpeg.py / gif.py / bmp.py / vp8l.py)
 - audio: REAL for RIFF/WAVE payloads (pure-numpy PCM/float codec, wav.py);
   video: REAL for AVI/MJPEG payloads (container parse + the from-scratch
   JPEG codec, avi.py). The deterministic fake container

@@ -13,13 +13,16 @@ def test_png_roundtrip_exact():
 
 
 def test_lossy_psnr_over_40db():
-    # jpeg is the real baseline codec (q98); webp is the fake stand-in —
-    # both must hold the input_hint's >=40 dB lossy invariant
+    # jpeg is the real baseline codec (q98); webp is the real VP8L
+    # lossless codec — both must hold the input_hint's >=40 dB invariant
+    # (VP8L trivially: decode == source exactly, PSNR = inf)
     for fmt in ("jpeg", "webp"):
         for i in range(5):
             px = make_pixels(42, i, 24, 24)
             dec = codecs.decode_image(codecs.encode_image(px, fmt))
             assert codecs.psnr(px, dec) >= 40.0, (fmt, i)
+            if fmt == "webp":
+                assert np.array_equal(dec, px)
 
 
 def test_phash_stable_and_robust():
@@ -35,9 +38,12 @@ def test_phash_stable_and_robust():
 
 
 def test_decode_unknown_raises():
-    # unknown magic (real webp RIFF container) -> env-gated NotImplemented
+    # lossy-VP8 webp -> env-gated NotImplemented (VP8L lossless is real)
     with pytest.raises(NotImplementedError):
-        codecs.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        codecs.decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
+    # unknown container magic -> env-gated NotImplemented
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"NOTACODEC0")
     # truncated jpeg -> structural decode error, not the env gate
     with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")
