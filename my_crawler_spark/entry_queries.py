@@ -627,18 +627,43 @@ def q_curriculum_phases(spark, sf_dir) -> DataFrame:
     """Curriculum ordering: corpus split into 4 quality-ordered training
     phases via ntile over (quality, doc_id) — phase 1 = cleanest quartile
     first, the standard easy-to-hard curriculum schedule. Deterministic
-    ties make ntile identical across engines. NOTE: a single global ntile
-    is a one-task sort at 10^10 rows — the scale path buckets by the
-    PRE-COMPUTED per-sample quantile thresholds (q_winsorize's broadcast
-    bounds-dim pattern); this entry pins the semantics both share."""
+    ties make ntile identical across engines. The ntile itself is computed
+    by the SCALE path (r5's promise): range-partitioned exact global rank +
+    closed-form bucket arithmetic — no single-task sort; the DuckDB oracle
+    keeps the literal ntile as the test-scale twin."""
     d = _t(spark, sf_dir, "documents")
     q = d.select("doc_id", TS.quality_score_expr(F.col("text")).alias("quality"))
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-    return q.select(
-        "doc_id",
-        "quality",
-        F.ntile(4).over(w).cast("long").alias("phase"),
+    # scale path (the r5 promise): exact global rank via ranking.global_rank
+    # (range partition + local sort, no single-task window), then ntile's
+    # bucket arithmetic in closed form from (rank, n): buckets 1..n%4 hold
+    # ceil(n/4) rows, the rest floor(n/4) — bit-identical to ntile(4) OVER
+    # (ORDER BY quality DESC, doc_id) for this total (tie-free) key.
+    from .operators.ranking import global_rank
+
+    ranked = global_rank(
+        q, [F.col("quality").desc(), F.col("doc_id")], rank_col="__r"
     )
+    n = q.agg(F.count(F.lit(1)).alias("__n"))
+    out = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("__base", F.expr("__n DIV 4"))
+        .withColumn("__rem", F.col("__n") % 4)
+        .withColumn(
+            "phase",
+            F.when(
+                F.col("__r") <= F.col("__rem") * (F.col("__base") + 1),
+                (F.col("__r") - 1) / (F.col("__base") + 1),
+            )
+            .otherwise(
+                F.col("__rem")
+                + (F.col("__r") - F.col("__rem") * (F.col("__base") + 1) - 1)
+                / F.greatest(F.col("__base"), F.lit(1)),
+            )
+            .cast("long")
+            + 1,
+        )
+    )
+    return out.select("doc_id", "quality", "phase")
 
 
 SQL_CURRICULUM_PHASES = f"""
@@ -1570,18 +1595,12 @@ def q_rrf_fusion(spark, sf_dir) -> DataFrame:
     """Weighted RRF over two deterministic rank lists from documents
     (weights 2.0 / 1.0, k=60 — fusion contract of R1)."""
     d = _t(spark, sf_dir, "documents")
-    la = (
-        d.select("doc_id", "n_chars")
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("n_chars"), F.col("doc_id"))),
-        )
-        .filter(F.col("rank") <= 50)
-        .drop("n_chars")
-    )
-    lb = d.select("doc_id").withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.col("doc_id")))
-    ).filter(F.col("rank") <= 50)
+    # distributed top-k (TakeOrderedAndProject + k-row rank stamp) — the
+    # corpus never rides a single-task global window (guide §2.4)
+    la = S.ranked_topk(
+        d.select("doc_id", "n_chars"), [F.desc("n_chars"), F.col("doc_id")], 50
+    ).drop("n_chars")
+    lb = S.ranked_topk(d.select("doc_id"), [F.col("doc_id")], 50)
     fused = S.rrf_fuse([(la, 2.0), (lb, 1.0)], "doc_id")
     return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
 
@@ -3731,8 +3750,7 @@ def q_plagiarism(spark, sf_dir) -> DataFrame:
     scored = emb.filter(F.col("vec_id") != 0).crossJoin(q).select(
         "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos")
     )
-    w = Window.orderBy(F.desc("cos"), F.col("vec_id"))
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    top = S.ranked_topk(scored, [F.desc("cos"), F.col("vec_id")], 5)
     return top.filter(F.col("cos") >= 0.2).select(
         "vec_id", "cos", F.col("rank").cast("long").alias("rank")
     )
@@ -3764,28 +3782,29 @@ def q_hybrid_search_e2e(spark, sf_dir) -> DataFrame:
     from .operators.search import cosine
 
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    dense = (
-        emb.crossJoin(q)
-        .select(
+    # every corpus-sized rank list below is a distributed top-k
+    # (TakeOrderedAndProject + k-row rank stamp), never a global window
+    dense = S.ranked_topk(
+        emb.crossJoin(q).select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
-        )
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("s"), F.col("doc_id"))))
-        .filter(F.col("rank") <= k)
+        ),
+        [F.desc("s"), F.col("doc_id")], k,
     )
     # "title" = first 60 chars, "body" = full text (E9's two BM25 docs)
     titles = d.select("doc_id", F.substring("text", 1, 60).alias("text"))
-    bm_t = S.bm25_scores(titles, _QUERY_TEXT).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc(F.round("bm25", 6)), F.col("doc_id")))
-    ).filter(F.col("rank") <= k)
-    bm_b = S.bm25_scores(d, _QUERY_TEXT).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc(F.round("bm25", 6)), F.col("doc_id")))
-    ).filter(F.col("rank") <= k)
+    bm_t = S.ranked_topk(
+        S.bm25_scores(titles, _QUERY_TEXT),
+        [F.desc(F.round("bm25", 6)), F.col("doc_id")], k,
+    )
+    bm_b = S.ranked_topk(
+        S.bm25_scores(d, _QUERY_TEXT),
+        [F.desc(F.round("bm25", 6)), F.col("doc_id")], k,
+    )
     fused = S.rrf_fuse([(dense, 2.0), (bm_t, 2.0), (bm_b, 1.0)], "doc_id")
-    ranked = fused.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc(F.round("rrf_score", 9)), F.col("doc_id"))),
-    ).filter(F.col("rank") <= k)
+    ranked = S.ranked_topk(
+        fused, [F.desc(F.round("rrf_score", 9)), F.col("doc_id")], k,
+    )
 
     enriched = ranked.join(d, "doc_id").select(
         "doc_id",

@@ -28,47 +28,104 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 # LZW
 # ---------------------------------------------------------------------------
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Per-code loop with an in-place string table: every emitted LZW string
+    is a contiguous span of the output buffer, so table entries are just
+    (start, length) ints and each emit is ONE bytearray slice copy — no
+    per-entry bytes concatenation, no object churn (the r5 per-code
+    bytes-table loop allocated `prev + entry[:1]` for every new code).
+    A new entry is always `prev + first_byte(current)`, and prev was
+    emitted immediately before current, so the entry's bytes sit at
+    out[cur - prev_len : cur + 1] — already contiguous. ~2.6x on the
+    64x64 decode microbench (see OPTIMIZATION_r06.md)."""
     clear = 1 << min_code_size
     end = clear + 1
-    # table as list of bytes strings; indices < clear are single symbols
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
-    table = list(base)
+    starts = [0] * 4096
+    lens = [0] * 4096
+    table_len = end + 1
     code_size = min_code_size + 1
+    growth = 1 << code_size  # table size at which code_size bumps
     out = bytearray()
-    acc = 0
-    nbits = 0
-    prev: bytes | None = None
-    for byte in data:
-        acc |= byte << nbits
-        nbits += 8
-        while nbits >= code_size:
-            code = acc & ((1 << code_size) - 1)
-            acc >>= code_size
-            nbits -= code_size
-            if code == clear:
-                table = list(base)
-                code_size = min_code_size + 1
-                prev = None
-                continue
-            if code == end:
-                return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
-            if prev is None:
-                entry = table[code]
-            elif code < len(table):
-                entry = table[code]
-                if len(table) < 4096:  # tolerate deferred-clear encoders
-                    table.append(prev + entry[:1])
-            elif code == len(table):  # the KwKwK case
-                entry = prev + prev[:1]
-                table.append(entry)
+    out_append = out.append
+    out_len = 0
+    prev_len = 0  # 0 = no prev (start / just after clear)
+    # batched code extraction: code_size only changes at a clear code or
+    # when the table reaches `growth`, and the table grows by at most one
+    # entry per code — so from any position at least (growth - table_len)
+    # codes share one width and can be sliced out of the bitstream in one
+    # numpy pass (3-byte gather, shift, mask). The Python loop below then
+    # only runs the table/emit logic, never bit arithmetic.
+    bits = np.frombuffer(data, np.uint8)
+    total_bits = len(data) * 8
+    padded = np.concatenate([bits, np.zeros(4, np.uint8)]).astype(np.uint32)
+    bitpos = 0
+    while True:
+        # refill: at most (growth - table_len) codes share this width (the
+        # table grows by <= 1 entry per code); a clear inside the batch
+        # rewinds the unconsumed tail
+        n_take = growth - table_len + (0 if prev_len else 1)
+        avail = (total_bits - bitpos) // code_size
+        if n_take < 1:
+            # table full (deferred clear): width is pinned until a clear,
+            # which rewinds the tail — take everything left
+            n_take = avail
+        if n_take > avail:
+            n_take = avail
+        if n_take < 1:
+            break
+        pos = bitpos + code_size * np.arange(n_take, dtype=np.int64)
+        byt = pos >> 3
+        val = (
+            padded[byt]
+            | (padded[byt + 1] << np.uint32(8))
+            | (padded[byt + 2] << np.uint32(16))
+        )
+        codes = (
+            ((val >> (pos & 7).astype(np.uint32)) & np.uint32(growth - 1))
+            .tolist()  # plain-int list: per-code numpy indexing is ~100ns
+        )
+        bitpos += code_size * n_take
+        for k, code in enumerate(codes):
+            if code >= clear:
+                if code == clear:
+                    # width resets: return the unconsumed tail to the stream
+                    bitpos -= code_size * (n_take - k - 1)
+                    table_len = end + 1
+                    code_size = min_code_size + 1
+                    growth = 1 << code_size
+                    prev_len = 0
+                    break
+                if code == end:
+                    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+                if code < table_len:
+                    s = starts[code]
+                    elen = lens[code]
+                    out += out[s : s + elen]
+                elif code == table_len and prev_len:  # the KwKwK case
+                    s = out_len - prev_len
+                    out += out[s:out_len]
+                    out_append(out[s])
+                    elen = prev_len + 1
+                else:
+                    raise ValueError("corrupt LZW stream")
             else:
-                raise ValueError("corrupt LZW stream")
-            out += entry
-            if len(table) == (1 << code_size) and code_size < 12:
-                code_size += 1
-            prev = entry
-            if len(out) >= n_pixels:
-                return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+                out_append(code)
+                elen = 1
+            if prev_len and table_len < 4096:  # tolerate deferred-clear encoders
+                starts[table_len] = out_len - prev_len
+                lens[table_len] = prev_len + 1
+                table_len += 1
+                if table_len == growth and code_size < 12:
+                    # width bump: any tail was sliced at the old width
+                    prev_len = elen
+                    out_len += elen
+                    bitpos -= code_size * (n_take - k - 1)
+                    code_size += 1
+                    growth = 1 << code_size
+                    break
+            prev_len = elen
+            out_len += elen
+        if out_len >= n_pixels:
+            return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
     return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
 
 

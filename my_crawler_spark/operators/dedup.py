@@ -404,11 +404,14 @@ def embedding_near_duplicates(
     lsh_dim: int | None = None,
     lsh_bits: int = 8,
     lsh_tables: int = 4,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold.
 
     Blocking (pick one; the unblocked crossJoin is the correctness
-    baseline, quadratic — never the scale path):
+    baseline, quadratic — never the scale path, so it must be requested
+    EXPLICITLY with ``allow_quadratic=True`` — omitting every blocking
+    argument raises instead of silently planning an all-pairs join):
     - ``block_col``: a caller-provided partition key (label, shard, ...).
     - ``lsh_dim``: SRP-LSH buckets from operators/simsearch.py as the block
       key — candidates = pairs colliding in >= 1 of ``lsh_tables`` bucket
@@ -440,6 +443,12 @@ def embedding_near_duplicates(
             cands.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")
+        )
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_near_duplicates without block_col/lsh_dim is an "
+            "all-pairs crossJoin; pass allow_quadratic=True to run the "
+            "quadratic correctness baseline on purpose"
         )
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
                           *( [F.col(block_col).alias("blk")] if block_col else []))

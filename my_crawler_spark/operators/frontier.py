@@ -70,6 +70,12 @@ FOLD_OUT_SCHEMA = StructType(
         StructField("new_blocked_origin", StringType()),
         StructField("crawled_flag", BooleanType()),
         StructField("indexed_flag", BooleanType()),
+        # instrumentation: True when the row's segment hit a sequential
+        # hazard (403 / budget crossing / redirect collision / dup url) and
+        # took the exact per-row loop instead of the vectorized fast path —
+        # aggregated per round into metrics.slow_fold_rows so a huge-request
+        # run can prove the fast path dominates
+        StructField("fold_slow", BooleanType()),
     ]
 )
 
@@ -154,6 +160,7 @@ def _fold_segment_vectorized(pdf: pd.DataFrame, st: _ReqState) -> pd.DataFrame |
             "new_blocked_origin": None,
             "crawled_flag": would_crawl,
             "indexed_flag": would_crawl & pdf["has_chunks"].fillna(False).to_numpy(bool),
+            "fold_slow": False,
         }
     )
     st.crawled += int(would_crawl.sum())
@@ -174,7 +181,7 @@ def _fold_segment_loop(pdf: pd.DataFrame, st: _ReqState) -> pd.DataFrame:
         out.append(
             (r.request_id, r.seq, r.url, r.depth, outcome,
              r.final_url if final else None, visited, final, blocked,
-             crawled_flag, indexed_flag)
+             crawled_flag, indexed_flag, True)
         )
 
     for r in pdf.itertuples(index=False):

@@ -26,11 +26,29 @@ def interleave_by_domain(
     df: DataFrame, host_col: str = "host", order_col: str = "seq"
 ) -> DataFrame:
     """Q9 (bulk_crawl.py:140-148): round-robin one URL per domain — the
-    zip_longest transpose as rank-then-sort. Adds ``emit_order``."""
+    zip_longest transpose as rank-then-sort. Adds ``emit_order``.
+
+    The final total order is stamped by ranking.global_rank (range
+    partition + local sort + broadcast offsets), not an unpartitioned
+    row_number window: the op's whole point is fleet-scale seed
+    scheduling, and the old global window funnelled every seed through
+    one task (guide §2.4; no-SinglePartition plan-tested). (rr_round,
+    host, order_col) is a total order — rr_round is unique within a
+    host — so the stamped ranks are identical to the window's.
+    """
+    from .ranking import global_rank
+
     w = Window.partitionBy(host_col).orderBy(order_col)
     ranked = df.withColumn("rr_round", F.row_number().over(w))
-    w_out = Window.orderBy("rr_round", host_col, order_col)
-    return ranked.withColumn("emit_order", F.row_number().over(w_out))
+    out = global_rank(
+        ranked,
+        [F.col("rr_round"), F.col(host_col), F.col(order_col)],
+        rank_col="emit_order",
+    )
+    res = out.withColumn("emit_order", F.col("emit_order").cast("int"))
+    # forward global_rank's pinned intermediate so callers can free it
+    res._graft_persisted = out._graft_persisted
+    return res
 
 
 def topk_per_group(

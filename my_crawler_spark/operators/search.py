@@ -115,9 +115,28 @@ def dense_scores(
 
 
 def topk(df: DataFrame, score_col: str, k: int, id_col: str) -> DataFrame:
-    """rank-stamped top-k: ties broken by id for determinism."""
-    w = Window.orderBy(F.desc(score_col), F.col(id_col))
-    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    """rank-stamped top-k: ties broken by id for determinism.
+
+    Distributed shape (guide §2.4): ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition top-k then a bounded merge — so
+    the corpus-sized input is never funnelled through one task. The rank
+    stamp's global window then runs over exactly k rows, and because
+    TakeOrderedAndProject already outputs a single sorted partition the
+    window adds NO Exchange and NO Sort (plan-tested in
+    tests/test_explain_plans.py). Result-identical to the old
+    whole-corpus ``row_number`` window: same total order, same k rows.
+    """
+    return ranked_topk(df, [F.desc(score_col), F.col(id_col)], k)
+
+
+def ranked_topk(df: DataFrame, order_cols: list[Column], k: int,
+                rank_col: str = "rank") -> DataFrame:
+    """Append ``rank_col`` = 1..k over the top-k rows by ``order_cols``
+    (must be a total order) without a corpus-wide single-task window:
+    TakeOrderedAndProject(k) then a k-row rank stamp."""
+    picked = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return picked.withColumn(rank_col, F.row_number().over(w))
 
 
 def rrf_fuse(

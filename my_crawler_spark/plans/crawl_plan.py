@@ -97,6 +97,9 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("blocked", T.LongType()),
         T.StructField("admitted", T.LongType()),
         T.StructField("deferred", T.LongType()),
+        # rows whose gate-fold segment hit a sequential hazard (took the
+        # exact loop, not the vectorized fast path) — see operators/frontier
+        T.StructField("slow_fold_rows", T.LongType()),
     ]
 )
 CHUNKS_SCHEMA = T.StructType(
@@ -993,6 +996,7 @@ class CrawlRunner:
                     ),
                     F.sum((F.col("outcome") == "blocked").cast("long")).alias("blocked"),
                     F.count("*").alias("admitted"),
+                    F.sum(F.col("fold_slow").cast("long")).alias("slow_fold_rows"),
                 )
                 .withColumn("round", F.lit(round_no))
             )

@@ -121,18 +121,26 @@ class BitWriter:
 
 
 class BitReader:
-    """numpy-backed reader: one vectorized pass precomputes the 16-bit
+    """numpy-backed reader: one vectorized pass precomputes an 18-bit
     little-endian window at every bit offset, so the per-symbol hot loop
-    is two array lookups (the same trick jpeg.py uses for its scans)."""
+    is two array lookups (the same trick jpeg.py uses for its scans).
+
+    18 bits, not 16: VP8L distance prefix codes 36-39 carry 17-18 extra
+    bits (LZ77 distances past ~256k pixels), and a 16-bit window silently
+    truncated them — conformant large-image streams decoded to wrong
+    pixels with decode_ok=True (ADVICE r5, high)."""
 
     __slots__ = ("pos", "nbits", "_peek16")
+
+    _WINDOW = 18  # >= the widest single read the VP8L bitstream can ask for
 
     def __init__(self, data: bytes) -> None:
         bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
         self.nbits = len(bits)
-        padded = np.concatenate([bits, np.zeros(16, np.uint8)]).astype(np.uint32)
+        w = self._WINDOW
+        padded = np.concatenate([bits, np.zeros(w, np.uint8)]).astype(np.uint32)
         v = np.zeros(self.nbits + 1, np.uint32)
-        for k in range(16):
+        for k in range(w):
             v |= padded[k : k + self.nbits + 1] << np.uint32(k)
         # plain-int list: the per-symbol hot loop indexes this, and Python
         # list indexing returns ready ints (no numpy scalar boxing)
@@ -142,6 +150,8 @@ class BitReader:
     def read(self, nbits: int) -> int:
         if nbits == 0:
             return 0
+        if nbits > self._WINDOW:
+            raise ValueError(f"vp8l: read({nbits}) exceeds the bit window")
         if self.pos > self.nbits:
             raise ValueError("vp8l: read past end of stream")
         out = self._peek16[self.pos] & ((1 << nbits) - 1)
@@ -234,6 +244,8 @@ class _HTree:
     def decode(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
+        if br.pos > br.nbits:  # same guard as BitReader.read: truncated
+            raise ValueError("vp8l: read past end of stream")
         e = self.lut[br._peek16[br.pos] & ((1 << self.bits) - 1)]
         ln = e >> 20
         if ln == 0:
@@ -322,9 +334,13 @@ def _read_code(br: BitReader, alphabet_size: int) -> _HTree:
     if br.read(1):  # simple code
         num_symbols = br.read(1) + 1
         sym0 = br.read(8) if br.read(1) else br.read(1)
+        if sym0 >= alphabet_size:  # libwebp rejects such streams
+            raise ValueError("vp8l: simple-code symbol out of alphabet")
         if num_symbols == 1:
             return _HTree(np.zeros(0, np.int64), single=sym0)
         sym1 = br.read(8)
+        if sym1 >= alphabet_size:
+            raise ValueError("vp8l: simple-code symbol out of alphabet")
         return _HTree(
             np.zeros(0, np.int64), pairs=[(sym0, 0, 1), (sym1, 1, 1)]
         )
@@ -875,6 +891,8 @@ def decode_webp(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            raise ValueError("webp: truncated chunk")
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
             return decode_vp8l(body)

@@ -99,8 +99,14 @@ def test_embedding_near_duplicates_lsh_blocked(spark):
         w = v + rng.standard_normal(16) * 0.02
         rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    import pytest
+
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        D.embedding_near_duplicates(emb, threshold=0.97)
     exact = {(r.id_a, r.id_b) for r in
-             D.embedding_near_duplicates(emb, threshold=0.97).collect()}
+             D.embedding_near_duplicates(
+                 emb, threshold=0.97, allow_quadratic=True
+             ).collect()}
     lsh = {(r.id_a, r.id_b) for r in
            D.embedding_near_duplicates(
                emb, threshold=0.97, lsh_dim=16, lsh_bits=6, lsh_tables=8

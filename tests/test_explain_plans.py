@@ -164,7 +164,7 @@ def test_admit_links_broadcasts_round_control(spark):
     )
     fold_out = spark.createDataFrame(
         [(1, 2, "https://h.example.com/x", 1, "crawled",
-          "https://h.example.com/x", True, True, None, True, True)],
+          "https://h.example.com/x", True, True, None, True, True, False)],
         FOLD_OUT_SCHEMA,
     )
     deferred = spark.createDataFrame([], "request_id long, url string, host string, depth int, seq long")
@@ -444,3 +444,105 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange" in ctrl, ctrl
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_topk_is_distributed_take_ordered(spark):
+    """search.topk (the R1 hot path + flagship entry) compiles to
+    TakeOrderedAndProject — per-partition top-k, bounded merge — with the
+    k-row rank stamp riding its single sorted output partition: NO
+    Exchange anywhere (the r5 `weak` mark was a corpus-wide unpartitioned
+    row_number Window). Ranks must be bit-identical to that window."""
+    from pyspark.sql import Window
+
+    from my_crawler_spark.operators.search import topk
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    out = topk(df, "score", 40, "doc_id")
+    plan = explain_str(out).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    want = [
+        (r.doc_id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 40).orderBy("rank").collect()
+    ]
+    got = [(r.doc_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == want
+
+
+def test_flagship_entry_plan_distributed_topk(spark):
+    """The flagship entry() ranks its corpus-sized lists (bm25, dense,
+    fused, reranked) through TakeOrderedAndProject; the only windows left
+    unpartitioned are the <=k-row dedup/diversify stamps bounded by the
+    R1 prefetch contract."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_plan_test",
+        pathlib.Path(__file__).resolve().parent.parent / "__spark_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    plan = explain_str(mod.entry(spark))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_interleave_plan_no_single_partition(spark):
+    """interleave_by_domain's output order comes from global_rank's
+    range-partitioned construction — no SinglePartition exchange, and the
+    only Window left is the per-host rr_round (partitioned)."""
+    import re
+
+    from my_crawler_spark.operators.interleave import interleave_by_domain
+
+    seeds = spark.createDataFrame(
+        [(i, f"h{i % 5}.com", f"https://h{i % 5}.com/{i}") for i in range(200)],
+        ["seq", "host", "url"],
+    )
+    out = interleave_by_domain(seeds)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            assert "host" in m.group(0), m.group(0)
+    finally:
+        out._graft_persisted.unpersist()
+
+
+def test_curriculum_phases_rank_bucketing_equals_ntile(spark, tmp_path):
+    """The curriculum entry's closed-form (rank, n) bucket arithmetic must
+    equal ntile(4) exactly — including the n % 4 != 0 remainder split —
+    and plan with no unpartitioned Window."""
+    from pyspark.sql import Window
+
+    from my_crawler_spark import entry_queries as EQ
+
+    for n in (17, 500, 12):
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha bravo w"), F.col("id").cast("string")).alias("text"),
+            F.lit("en").alias("lang"), F.lit(10).alias("n_chars"),
+        )
+        path = str(tmp_path / f"docs{n}")
+        docs.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        out = EQ.q_curriculum_phases(spark, path)
+        got = {(r.doc_id, r.phase) for r in out.collect()}
+        q = docs.select(
+            "doc_id",
+            EQ.TS.quality_score_expr(F.col("text")).alias("quality"),
+        )
+        w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+        want = {
+            (r.doc_id, r.phase)
+            for r in q.select(
+                "doc_id", F.ntile(4).over(w).cast("long").alias("phase")
+            ).collect()
+        }
+        assert got == want, (n, got ^ want)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan

@@ -202,3 +202,58 @@ def test_million_row_round_streams(spark):
     assert agg.total == n
     assert agg.crawled == budget
     assert agg.skipped == n - budget
+
+
+def test_million_row_worst_case_every_batch_hazard(spark):
+    """Planted worst case: a 403 in EVERY 10k-row Arrow batch forces every
+    segment down the exact per-row loop (fold_slow=True everywhere). The
+    fold must still finish a 10^6-row single request well inside a bounded
+    wall time (non-quadratic: sets + counters only), and the instrumentation
+    column must report the slow path."""
+    import time
+
+    n = 1_000_000
+    h = "https://big.example.com"
+    df = (
+        spark.range(n)
+        .select(
+            F.lit(1).cast("long").alias("request_id"),
+            (F.col("id") + 1).alias("seq"),
+            F.concat(F.lit(f"{h}/p"), F.col("id")).alias("url"),
+            F.lit(1).alias("depth"),
+            F.lit(h).alias("origin"),
+            F.lit(False).alias("pre_visited"),
+            F.lit(False).alias("pre_blocked"),
+            F.lit(True).alias("robots_allowed_flag"),
+            # one blocked row per 10k-row batch; the blocked origins are
+            # distinct so no later row dup-skips on them
+            F.when(F.col("id") % 10_000 == 5_000, F.lit("blocked"))
+            .otherwise(F.lit("ok"))
+            .alias("fetch_kind"),
+            F.concat(F.lit(f"{h}/p"), F.col("id")).alias("final_url"),
+            F.when(
+                F.col("id") % 10_000 == 5_000,
+                F.concat(F.lit("https://bad"), F.col("id"), F.lit(".example.com/x")),
+            ).alias("blocked_url"),
+            F.lit(False).alias("final_is_trap"),
+            F.lit(True).alias("has_chunks"),
+            F.lit(2_000_000).alias("max_pages"),
+            F.lit(5).alias("max_depth"),
+            F.lit(0).cast("long").alias("crawled_so_far"),
+        )
+    )
+    t0 = time.time()
+    agg = gate_fold(df).agg(
+        F.sum(F.col("crawled_flag").cast("long")).alias("crawled"),
+        F.sum((F.col("outcome") == "blocked").cast("long")).alias("blocked"),
+        F.sum(F.col("fold_slow").cast("long")).alias("slow_rows"),
+        F.count("*").alias("total"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg.total == n
+    assert agg.blocked == 100
+    assert agg.crawled == n - 100
+    assert agg.slow_rows == n  # every segment was a hazard segment
+    # generous bound: the exact loop is linear (~2 us/row single-task);
+    # a quadratic regression would blow far past this
+    assert wall < 180, f"worst-case fold took {wall:.1f}s"

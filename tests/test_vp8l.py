@@ -373,3 +373,110 @@ def test_crafted_max_symbol_cutoff():
     bw.write_code(1, 1)
     exp = np.array([[[44, 0, 55], [44, 1, 55]]], np.uint8)
     assert np.array_equal(decode_vp8l(bw.getvalue()), exp)
+
+
+def test_bitreader_wide_reads_exact():
+    """Regression (ADVICE r5, high): the peek window must cover the 17/18
+    extra-bit reads of distance prefix codes 36-39 — a 16-bit window
+    silently dropped the high bits (read(18) of 0x2ABCD gave 0xABCD)."""
+    from my_crawler_spark.vp8l import BitReader
+
+    bw = BitWriter()
+    bw.write(0x2ABCD, 18)
+    bw.write(0x1F0F1, 17)
+    bw.write(0x3, 2)
+    br = BitReader(bw.getvalue())
+    assert br.read(18) == 0x2ABCD
+    assert br.read(17) == 0x1F0F1
+    assert br.read(2) == 0x3
+    with pytest.raises(ValueError, match="exceeds the bit window"):
+        br.read(19)
+
+
+def test_crafted_code39_long_distance_copy():
+    """A conformant stream whose final backref uses distance prefix code 39
+    (18 extra bits, distance 1,000,000) must decode exactly — the stream
+    shape of large (>0.5 Mpixel) lossless webps (ADVICE r5, high)."""
+    rng = np.random.default_rng(7)
+    w, h = 4096, 257
+    lits = _pack(rng.integers(0, 256, (1, w, 3), dtype=np.uint8))
+    long_dist = 1_000_000
+    copies = [(4096, 4096 + 120)] * 255 + [(64, long_dist + 120),
+                                           (4032, 4096 + 120)]
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    gf, rf, bf, af, df = _lit_freqs(lits)
+    enc = []
+    for clen, dcode_raw in copies:
+        lcode, lbits, lextra = _prefix_encode(clen)
+        dcode, dbits, dextra = _prefix_encode(dcode_raw)
+        gf[_NUM_LITERALS + lcode] += 1
+        df[dcode] += 1
+        enc.append((lcode, lbits, lextra, dcode, dbits, dextra))
+    codes = tuple(_write_code(bw, f) for f in (gf, rf, bf, af, df))
+    for v in lits.tolist():
+        _emit_literal(bw, codes, v)
+    for lcode, lbits, lextra, dcode, dbits, dextra in enc:
+        c, ln = codes[0][_NUM_LITERALS + lcode]
+        bw.write_code(c, ln)
+        if lbits:
+            bw.write(lextra, lbits)
+        c, ln = codes[4][dcode]
+        bw.write_code(c, ln)
+        if dbits:
+            bw.write(dextra, dbits)
+    got = decode_vp8l(bw.getvalue())
+    # reference: replay the copy program over a flat argb buffer
+    flat = np.zeros(w * h, np.uint32)
+    flat[:w] = lits
+    pos = w
+    for clen, dcode_raw in copies:
+        dist = dcode_raw - 120
+        assert dist >= clen  # this test only uses non-overlapping copies
+        flat[pos : pos + clen] = flat[pos - dist : pos - dist + clen]
+        pos += clen
+    assert pos == w * h
+    want = np.stack(
+        [(flat >> 16) & 0xFF, (flat >> 8) & 0xFF, flat & 0xFF], axis=-1
+    ).astype(np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, want)
+
+
+def test_truncated_streams_raise_valueerror():
+    """Truncation anywhere must surface as ValueError (the module's error
+    contract), never IndexError from the peek table (ADVICE r5, low)."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = vp8l.encode_vp8l(px)
+    bad = 0
+    for cut in range(5, len(data)):
+        try:
+            vp8l.decode_vp8l(data[:cut])
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            bad += 1
+    assert bad == 0
+
+
+def test_webp_truncated_chunk_raises():
+    full = encode_webp(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_webp(full[:20])
+
+
+def test_simple_code_symbol_out_of_alphabet_rejected():
+    """A malformed distance tree transmitting symbol 200 (alphabet 40) must
+    raise, not feed a 99-bit read (ADVICE r5, low)."""
+    from my_crawler_spark.vp8l import BitReader, _read_code
+
+    bw = BitWriter()
+    bw.write(1, 1)  # simple code
+    bw.write(0, 1)  # one symbol
+    bw.write(1, 1)  # 8-bit symbol form
+    bw.write(200, 8)  # out of a 40-symbol alphabet
+    with pytest.raises(ValueError, match="out of alphabet"):
+        _read_code(BitReader(bw.getvalue()), 40)
