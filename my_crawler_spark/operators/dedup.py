@@ -98,8 +98,16 @@ def jaccard_pairs(
     """Pairwise n-gram Jaccard >= threshold -> (id_a, id_b, jaccard).
 
     |A∩B| via shingle self-join; |A∪B| = |A|+|B|-|A∩B|. ``max_doc_freq``
-    prunes stop-shingles before the join (skew guard)."""
-    sh = ngram_shingles(docs, id_col, text_col, n)
+    prunes stop-shingles before the join (skew guard).
+
+    The shingle relation is persisted (disk-backed): it feeds the hot-
+    shingle filter, the per-doc sizes, and BOTH self-join sides — without
+    the cache the tokenize + n-gram explode ran up to four times."""
+    from pyspark import StorageLevel
+
+    sh = ngram_shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_doc_freq is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
             F.col("df") > max_doc_freq
@@ -136,7 +144,12 @@ def minhash_signatures(
     """(id, sig: array<long>) — sig[i] = min over shingles of
     xxhash64(shingle, seed=i). One explode + one groupBy; hashing stays in
     codegen (xxhash64 is a native expression)."""
-    sh = ngram_shingles(docs, id_col, text_col, n)
+    return _minhash_from_shingles(
+        ngram_shingles(docs, id_col, text_col, n), num_hashes
+    )
+
+
+def _minhash_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -193,10 +206,21 @@ def near_duplicates_minhash(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the scalable
-    near-dup pipeline: shingle -> minhash -> band -> bucket-join -> verify)."""
-    sigs = minhash_signatures(docs, id_col, text_col, n, bands * rows_per_band)
+    near-dup pipeline: shingle -> minhash -> band -> bucket-join -> verify).
+
+    One persisted shingle pass feeds the signature aggregation, the doc
+    sizes, and both verify-join sides; the signature relation is persisted
+    too (its banded form is both candidate-join sides) — without the
+    caches the shingle explode ran 4x and the 64-min aggregation 2x."""
+    from pyspark import StorageLevel
+
+    sh = ngram_shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _minhash_from_shingles(sh, bands * rows_per_band).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = ngram_shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         cands.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -353,11 +377,21 @@ def hamming_near_pairs(
     if blocks <= max_hamming:
         raise ValueError("pigeonhole guarantee needs blocks > max_hamming")
     width = 64 // blocks
+    from pyspark import StorageLevel
+
+    # persist the narrow (id, fp) projection: the self-join references it
+    # on BOTH sides, and without the cache the (possibly expensive)
+    # upstream — the simhash aggregation, the Arrow image-decode stage —
+    # re-ran once per side (measured: simhash_pairs computed its 64-bit
+    # per-token aggregation twice). 16 bytes/row, disk-backed at scale.
+    proj = hashes.select(F.col(id_col), F.col(hash_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # posexplode the chunk array -> ONE self-join on (chunk_idx, chunk_val)
-    # instead of `blocks` unioned joins: the upstream (possibly expensive,
-    # e.g. an Arrow decode stage) plan runs once per side, the shuffle count
-    # is constant, and plan size is O(1) in `blocks`.
-    chunked = hashes.select(
+    # instead of `blocks` unioned joins: the upstream plan runs ONCE (the
+    # persisted projection feeds both sides), the shuffle count is
+    # constant, and plan size is O(1) in `blocks`.
+    chunked = proj.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("fp"),
         F.posexplode(
@@ -711,8 +745,6 @@ def semdedup(
     """
     import tempfile
 
-    from .search import cosine
-
     spark = embeddings.sparkSession
     ckpt = tempfile.mkdtemp(prefix="semdedup_")
     _semdedup_assign(embeddings, n_lists, id_col, vec_col).write.parquet(
@@ -733,12 +765,20 @@ def semdedup(
             "__gid", F.pmod(F.xxhash64(F.col(id_col)), F.col("__g")).cast("int")
         )
     )
+    # per-ROW vector norm, computed once before the pair join: the pair
+    # cosine below is then dot/(na*nb) — one array fold per pair instead
+    # of three (the norms are the same subexpressions cosine() builds, so
+    # the float result is bit-identical; the oracle still hash-matches)
+    nrm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     a = salted.select(
         "list_id",
         F.col("__gid").alias("gi"),
         F.explode(F.sequence(F.col("__gid"), F.col("__g") - 1)).alias("gj"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
+        nrm.alias("n_a"),
     )
     b = salted.select(
         "list_id",
@@ -746,6 +786,7 @@ def semdedup(
         F.col("__gid").alias("gj"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
+        nrm.alias("n_b"),
     )
     # each unordered pair lands in exactly ONE (gi, gj) bucket: same-group
     # pairs appear in both orientations (id filter keeps one), cross-group
@@ -758,10 +799,17 @@ def semdedup(
     n_parts = spark.sparkContext.defaultParallelism
     a = a.repartition(n_parts, "list_id", "gi", "gj")
     b = b.repartition(n_parts, "list_id", "gi", "gj")
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     pairs = (
         a.join(b, ["list_id", "gi", "gj"])
         .filter((F.col("gi") < F.col("gj")) | (F.col("id_a") < F.col("id_b")))
-        .filter(F.round(cosine(F.col("v_a"), F.col("v_b")), 4) >= F.lit(threshold))
+        .filter(
+            F.round(dot / (F.col("n_a") * F.col("n_b")), 4) >= F.lit(threshold)
+        )
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),

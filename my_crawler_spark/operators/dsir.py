@@ -73,7 +73,6 @@ def bucket_log_ratio(
     raw doc references is never looked up, so it needs no row; B still
     enters both denominators so absent buckets cost nothing but smoothing
     mass. Rounded 9dp (cross-engine libm discipline)."""
-    n_buckets = float(16**prefix_len)
     tc = (
         hashed_term_buckets(target_docs, text_col=text_col, prefix_len=prefix_len)
         .groupBy("bucket")
@@ -84,6 +83,16 @@ def bucket_log_ratio(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("rc"))
     )
+    return _bucket_log_ratio_from_counts(tc, rc, prefix_len)
+
+
+def _bucket_log_ratio_from_counts(
+    tc: DataFrame, rc: DataFrame, prefix_len: int
+) -> DataFrame:
+    """bucket_log_ratio's arithmetic over precomputed (bucket, tc)/(bucket,
+    rc) count relations — lets dsir_log_weights derive rc from the one
+    persisted raw-feature pass instead of re-exploding the raw corpus."""
+    n_buckets = float(16**prefix_len)
     totals = rc.crossJoin(tc.select(F.sum("tc").alias("t_total"))).select(
         "bucket", "rc", "t_total"
     )
@@ -113,12 +122,25 @@ def dsir_log_weights(
     least one token (a zero-token doc has no feature evidence — callers
     wanting them back left-join). log_w = round(sum of per-occurrence
     lambda, 6)."""
-    lam = bucket_log_ratio(
-        target_docs, raw_docs, text_col=text_col, prefix_len=prefix_len
-    )
+    from pyspark import StorageLevel
+
+    # ONE raw-corpus feature pass: the (id, bucket) occurrence relation
+    # feeds both the raw bucket counts (rc, via map-side partial agg) and
+    # the per-doc weight join — without the persist each consumer re-ran
+    # the tokenize + bigram + sha256 explode over the whole raw corpus
+    # (guide §1.2: don't compute things twice). Disk-backed so a
+    # 100 TB-scale occurrence relation spills instead of evicting; one
+    # materialization ~= the cost of the second pass it replaces.
     occ = hashed_term_buckets(
         raw_docs, id_col=id_col, text_col=text_col, prefix_len=prefix_len
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rc = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tc = (
+        hashed_term_buckets(target_docs, text_col=text_col, prefix_len=prefix_len)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
     )
+    lam = _bucket_log_ratio_from_counts(tc, rc, prefix_len)
     return (
         occ.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)

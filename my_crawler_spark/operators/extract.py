@@ -34,8 +34,43 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql import Column
+
 from .. import codecs
-from ..functions.text import extract_caption_page
+from ..functions.text import (
+    caption_blocks,
+    caption_title,
+    create_chunks,
+    description_from_blocks,
+    page_version,
+)
+
+# uuid.NAMESPACE_URL, the namespace point_id() hashes under (RFC 4122)
+_UUID_NS_URL = bytearray.fromhex("6ba7b8119dad11d180b400c04fd430c8")
+
+
+def point_id_expr(url: Column, version: Column, index: Column) -> Column:
+    """JVM twin of functions.text.point_id (UUIDv5 over url\\0version\\0idx).
+
+    RFC 4122 v5: sha1(namespace_bytes + name_utf8), first 16 bytes, with
+    the version nibble forced to 5 and the variant nibble to 10xx — done
+    here as string surgery on the sha1 hex (positions 13 and 17), so the
+    per-chunk id costs one sha1 in codegen instead of a Python uuid call
+    per row (guide §4.1: the chunk sink is the crawl's hot loop)."""
+    name = F.concat(url, F.lit("\x00"), version, F.lit("\x00"), index.cast("string"))
+    h = F.sha1(F.concat(F.lit(bytes(_UUID_NS_URL)), F.encode(name, "UTF-8")))
+    v = F.conv(F.substring(h, 17, 1), 16, 10).cast("int")
+    variant = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")), (v % 4) + 1
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
 
 EMBED_DIM = 384  # e5-small dimension (qdrant.rs:50, compose.yml:17-18)
 
@@ -67,23 +102,57 @@ def extract_schema(carry: StructType) -> StructType:
     )
 
 
+def _caption_page_fields(caption: str) -> tuple[str, str, str, list[dict]]:
+    """The url-INDEPENDENT part of extract_caption_page: (title,
+    description, page_version, chunk template rows). page_version hashes
+    only (title, heading, description, content) — never the url — so the
+    whole expensive text pipeline is a pure function of the caption."""
+    blocks = caption_blocks(caption or "")
+    title = caption_title(caption or "")
+    description = description_from_blocks(blocks)
+    packed = create_chunks([(None, b) for b in blocks])
+    version = page_version(
+        [
+            {
+                "page_title": title,
+                "chunk_heading": heading,
+                "description": description,
+                "chunk_content": content,
+            }
+            for content, heading in packed
+        ]
+    )
+    tpl = [
+        {"chunk_content": c, "chunk_heading": h, "chunk_index": i}
+        for i, (c, h) in enumerate(packed)
+    ]
+    return title, description, version, tpl
+
+
 def image_decode_stats(images: DataFrame) -> DataFrame:
     """Decode each DISTINCT image ONCE -> (image_id, caption, decode_ok,
-    phash_ok, phash_got).
+    phash_ok, phash_got, page_title, description, page_version,
+    chunks_tpl).
 
     The images table is keyed by image_id while fetches reference it
     many-to-one (the same payload appears on many pages), so decoding on
     the fetch side would repeat identical work fan-out times — with the
     real JPEG codec that repetition dominated the crawl's extract phase.
-    Decoding the dim once and joining verdicts is the scale-correct shape
-    (at 100 TB this dim would be written once as a stats table, like the
-    robots dim). Column pruning keeps the scan at
-    (image_id, bytes, caption, phash) — verified in test_explain_plans.
+    The same argument holds for the caption TEXT pipeline (blocks, title,
+    description, chunker, page_version): none of it depends on the
+    fetching page's url, so it runs here once per image instead of once
+    per fetch — the r6 profile showed the per-fetch extract Python as the
+    single biggest crawl cost (973 executor-core-seconds in the chunks
+    stage, mostly JVM-waiting-on-Python). Decoding the dim once and
+    joining verdicts is the scale-correct shape (at 100 TB this dim would
+    be written once as a stats table, like the robots dim). Column
+    pruning keeps the scan at (image_id, bytes, caption, phash) —
+    verified in test_explain_plans.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, caps, oks, phoks, phgots = [], [], [], [], []
+            rows = []
             for rec in pdf.itertuples(index=False):
                 decode_ok, phash_ok, phash_got = False, False, None
                 data = rec.bytes
@@ -97,25 +166,41 @@ def image_decode_stats(images: DataFrame) -> DataFrame:
                         )
                     except Exception:
                         pass
-                ids.append(rec.image_id)
-                caps.append(rec.caption)
-                oks.append(decode_ok)
-                phoks.append(phash_ok)
-                phgots.append(phash_got)
-            yield pd.DataFrame(
-                {
-                    "image_id": ids,
-                    "caption": caps,
-                    "decode_ok": oks,
-                    "phash_ok": phoks,
-                    "phash_got": pd.array(phgots, dtype="Int64"),
-                }
+                caption = rec.caption if isinstance(rec.caption, str) else ""
+                title, desc, version, tpl = _caption_page_fields(caption)
+                rows.append(
+                    {
+                        "image_id": rec.image_id,
+                        "caption": rec.caption,
+                        "decode_ok": decode_ok,
+                        "phash_ok": phash_ok,
+                        "phash_got": phash_got,
+                        "page_title": title,
+                        "description": desc,
+                        "page_version": version,
+                        "chunks_tpl": tpl,
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "caption", "decode_ok", "phash_ok",
+                    "phash_got", "page_title", "description", "page_version",
+                    "chunks_tpl",
+                ],
             )
+            out["phash_got"] = pd.array(
+                [r["phash_got"] for r in rows], dtype="Int64"
+            )
+            yield out
 
     return images.select("image_id", "bytes", "caption", "phash").mapInPandas(
         run,
         "image_id string, caption string, decode_ok boolean, "
-        "phash_ok boolean, phash_got long",
+        "phash_ok boolean, phash_got long, page_title string, "
+        "description string, page_version string, "
+        "chunks_tpl array<struct<chunk_content:string,chunk_heading:string,"
+        "chunk_index:bigint>>",
     )
 
 
@@ -153,39 +238,50 @@ def extract_pages(
         joined = fetched.join(img, ["image_id", "__salt"], "left").drop("__salt")
     else:
         joined = fetched.join(img, "image_id", "left")
-    stat_cols = ("caption", "decode_ok", "phash_ok", "phash_got")
+    stat_cols = (
+        "caption", "decode_ok", "phash_ok", "phash_got",
+        "page_title", "description", "page_version", "chunks_tpl",
+    )
     carry_cols = [
         f.name for f in joined.schema.fields if f.name not in stat_cols
     ]
-    out_schema = extract_schema(joined.select(*carry_cols).schema)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                d = rec._asdict()
-                caption = d.pop("caption") or ""
-                if not isinstance(caption, str):  # left-join miss -> NaN
-                    caption = ""
-                phash_got = d.pop("phash_got")
-                dec_ok, ph_ok = d.pop("decode_ok"), d.pop("phash_ok")
-                page = extract_caption_page(d.get("final_url") or "", caption)
-                rows.append(
-                    {
-                        **{k: d.get(k) for k in carry_cols},
-                        "decode_ok": bool(dec_ok) if pd.notna(dec_ok) else False,
-                        "phash_ok": bool(ph_ok) if pd.notna(ph_ok) else False,
-                        "phash_got": (
-                            int(phash_got) if pd.notna(phash_got) else None
-                        ),
-                        "page_title": page["title"],
-                        "description": page["description"],
-                        "chunks": page["chunks"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
-
-    return joined.mapInPandas(run, out_schema)
+    # left-join miss (unknown image_id): identical to extracting an empty
+    # caption — the same constants the old per-row path produced
+    _t0, _d0, _v0, _tpl0 = _caption_page_fields("")
+    assert not _tpl0  # empty caption packs no chunks
+    title = F.coalesce(F.col("page_title"), F.lit(_t0))
+    desc = F.coalesce(F.col("description"), F.lit(_d0))
+    src = F.coalesce(F.col("final_url"), F.lit(""))
+    version = F.col("page_version")
+    chunks = F.when(
+        F.col("chunks_tpl").isNotNull(),
+        F.transform(
+            F.col("chunks_tpl"),
+            lambda c: F.struct(
+                c["chunk_content"].alias("chunk_content"),
+                c["chunk_heading"].alias("chunk_heading"),
+                c["chunk_index"].alias("chunk_index"),
+                title.alias("page_title"),
+                desc.alias("description"),
+                src.alias("source_url"),
+                version.alias("page_version"),
+                point_id_expr(src, version, c["chunk_index"]).alias("point_id"),
+            ),
+        ),
+    ).otherwise(F.array().cast(ArrayType(CHUNK_STRUCT)))
+    # pure column algebra from here on: the per-fetch stage ships nothing
+    # to Python (the caption text pipeline ran once per image in the stats
+    # dim; point_id is one sha1 per chunk in codegen) — the old per-row
+    # mapInPandas re-extracted the same 5k captions 2.4M times per round
+    return joined.select(
+        *[F.col(c) for c in carry_cols],
+        F.coalesce(F.col("decode_ok"), F.lit(False)).alias("decode_ok"),
+        F.coalesce(F.col("phash_ok"), F.lit(False)).alias("phash_ok"),
+        F.col("phash_got"),
+        title.alias("page_title"),
+        desc.alias("description"),
+        chunks.alias("chunks"),
+    )
 
 
 @F.pandas_udf(ArrayType(FloatType()))
@@ -206,6 +302,8 @@ def deterministic_embedding(text: pd.Series) -> pd.Series:
       cast loop), and it was being paid PER ROW before (~10 us/row);
     - row norms via einsum (7 ms) instead of np.linalg.norm (25 ms).
     Net: ~0.8 s -> ~0.24 s per 40k batch (3.4x) in the Arrow stage."""
+    import pyarrow as pa
+
     texts = text.fillna("")
     if not len(texts):
         return pd.Series([], dtype=object)
@@ -216,7 +314,14 @@ def deterministic_embedding(text: pd.Series) -> pd.Series:
     arr = np.subtract(u8, np.float32(127.5), dtype=np.float32)
     norms = np.sqrt(np.einsum("ij,ij->i", arr, arr))[:, None]
     np.divide(arr, norms, out=arr, where=norms != 0.0)
-    return pd.Series(list(arr))
+    # Arrow-native return: one flat buffer + offsets instead of a Series of
+    # 40k ndarray objects — pyarrow's from_pandas of the object form boxed
+    # every element (measured ~12% of the whole chunk-sink stage)
+    offsets = pa.array(
+        np.arange(0, (len(texts) + 1) * EMBED_DIM, EMBED_DIM, dtype=np.int32)
+    )
+    la = pa.ListArray.from_arrays(offsets, pa.array(arr.ravel(), type=pa.float32()))
+    return pd.Series(la, dtype=pd.ArrowDtype(pa.list_(pa.float32())))
 
 
 def explode_chunks(pages: DataFrame) -> DataFrame:

@@ -399,7 +399,11 @@ def admit_links(
                 F.min("__m_seq").alias("__m_seq"),
             )
         )
-        links = links.join(ctl, ["request_id", "url"], "left")
+        # shuffled-hash, not sort-merge: the exploded-link side is many
+        # times larger than the politeness-bounded ctl relation, and SMJ
+        # would sort it; hashing the ctl side per partition skips that
+        # sort entirely (guide §3.1 — build side bounded by the round)
+        links = links.join(ctl.hint("shuffle_hash"), ["request_id", "url"], "left")
     # pass iff: (no admitted row OR (it popped earlier and was not visited))
     #       AND (no final mark at seq <= parent_seq)
     links = links.filter(

@@ -54,34 +54,65 @@ def bm25_scores(
     Plan shape: one explode + two aggregations; df/avgdl are tiny aggregates
     broadcast back in — no driver collection. Scales as a word-count job.
     """
-    q_terms = [t for t in _py_tokens(query)]
+    q_terms = list(dict.fromkeys(_py_tokens(query)))  # uniq, order kept
     if not q_terms:
         return docs.select(F.col(id_col)).limit(0).withColumn("bm25", F.lit(0.0))
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    # Single-pass shape (guide §2.3/§2.4): per-doc term counts come from
+    # array ops over the token array — no explode, no (id, term) shuffle,
+    # no dl/df joins, no separate docs.count() action. The corpus stats
+    # (n, avgdl over token-bearing docs, per-term doc frequencies) are ONE
+    # 1-row aggregate crossJoined back in (broadcast). Scores are summed
+    # term-by-term in fixed query order; every count matches the old
+    # explode/groupBy pipeline exactly (dl>0 docs only enter avgdl, docs
+    # with no matching term are filtered out).
+    # two-step select (the ngrams_from_tokens pattern): materialize the
+    # token array once, then take dl + per-term counts off the column —
+    # inlining `tokens(text)` into each of the 5 expressions re-ran the
+    # split per expression (CollapseProject keeps the split in its own
+    # Project because it is non-cheap and multiply referenced)
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     )
-    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
-    n_docs = docs.count()
-    avgdl_df = dl.agg(F.avg("dl").alias("avgdl"))
-    tf = (
-        toks.filter(F.col("term").isin(q_terms))
-        .groupBy("id", "term")
-        .agg(F.count("*").alias("tf"))
+
+    def _count_of(term):  # 1-arg lambda: a 2-arg one would bind the index
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+
+    per_doc = toked.select(
+        "id",
+        F.coalesce(F.size(F.col("__toks")), F.lit(0)).alias("dl"),
+        *[
+            F.coalesce(_count_of(t), F.lit(0)).alias(f"__tf{i}")
+            for i, t in enumerate(q_terms)
+        ],
     )
-    df_ = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(avgdl_df))
-        .withColumn(
-            "w",
-            idf
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(q_terms))
+        ],
+    )
+    matched = per_doc.filter(
+        sum((F.col(f"__tf{i}") for i in range(len(q_terms))), F.lit(0)) > 0
+    ).crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(q_terms)):
+        tf = F.col(f"__tf{i}")
+        idf = F.log(
+            (F.col("__n").cast("double") - F.col(f"__df{i}") + 0.5)
+            / (F.col(f"__df{i}") + 0.5)
+            + 1.0
         )
-    )
-    return scored.groupBy("id").agg(F.sum("w").alias("bm25")).withColumnRenamed("id", id_col)
+        w = F.when(
+            tf > 0,
+            idf
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        w0 = F.coalesce(w, F.lit(0.0))  # absent term adds exact 0.0
+        score = w0 if score is None else score + w0
+    return matched.select(F.col("id").alias(id_col), score.alias("bm25"))
 
 
 def _py_tokens(s: str) -> list[str]:

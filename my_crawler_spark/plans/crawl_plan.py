@@ -191,8 +191,16 @@ class CrawlRunner:
         self.spark = spark
         self.catalog = Catalog(spark, workdir)
         # Partition the big web tables by url so every round's fetch join is
-        # co-located (the 100 TB version buckets these once at ingest).
-        self.pages = pages.repartition(host_buckets, "url").cache()
+        # co-located (the 100 TB version buckets these once at ingest) —
+        # and SORT within partitions so the cached relation also satisfies
+        # the sort-merge join's ordering requirement: InMemoryRelation
+        # preserves outputOrdering, so every round's fetch join skips the
+        # pages-side sort (bucketBy+sortBy amortized into the cache).
+        self.pages = (
+            pages.repartition(host_buckets, "url")
+            .sortWithinPartitions("url")
+            .cache()
+        )
         self.redirects = redirects
         self.has_redirects = not redirects.isEmpty()
         # chain bound: computed once here, makes every round's redirect hop
@@ -880,14 +888,32 @@ class CrawlRunner:
             # just (ids, chunks). The decode stage itself sees only
             # (ids, final_url, image_id) — outlink arrays never ride through
             # the Arrow decode round trip.
-            fetched = fetch_join(
-                to_fetch, self.pages, self.redirects, has_redirects=self.has_redirects,
-                cache_registry=hop_caches, rendered=self.rendered,
-                max_hops=round_hops if self.redirect_hops > 0 else 0,
-            ).select(
-                "request_id", "seq", "fetch_kind", "final_url", "blocked_url",
-                "outlinks", "image_id",
-            ).cache()
+            #
+            # Both caches are partitioned AND sorted on (request_id, seq)
+            # BEFORE caching: every downstream join — the fold's control
+            # assembly, the chunk sink's crawled-ids join, the link job's
+            # outlink join — keys on exactly (request_id, seq), and
+            # InMemoryRelation preserves partitioning + ordering, so in the
+            # shuffle regime the heavy rows (outlink arrays, chunk text)
+            # move through ONE exchange here instead of one per consumer;
+            # only the narrow control sides shuffle per join (guide §8:
+            # heavy bytes move once, decisions ride lightweight proxies).
+            n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            fetched = (
+                fetch_join(
+                    to_fetch, self.pages, self.redirects,
+                    has_redirects=self.has_redirects,
+                    cache_registry=hop_caches, rendered=self.rendered,
+                    max_hops=round_hops if self.redirect_hops > 0 else 0,
+                )
+                .select(
+                    "request_id", "seq", "fetch_kind", "final_url",
+                    "blocked_url", "outlinks", "image_id",
+                )
+                .repartition(n_shuf, "request_id", "seq")
+                .sortWithinPartitions("request_id", "seq")
+                .cache()
+            )
             round_caches.append(fetched)
             extracted = extract_pages(
                 fetched.filter(F.col("fetch_kind") == "ok").select(

@@ -89,3 +89,36 @@ def test_path_depth(spark):
     df = spark.createDataFrame([("https://a.com/a/b/c",), ("https://a.com/",)], ["url"])
     got = [r.d for r in df.select(U.url_path_depth(F.col("url")).alias("d")).collect()]
     assert got == [3, 0]
+
+
+def test_canonical_fast_path_equals_full_chain(spark):
+    """The already-canonical guard may only ever return what the full
+    normalization chain would: every guard-boundary case (default ports,
+    uppercase, whitespace, query/fragment, userinfo, bad ports, unusual
+    hosts) must produce identical results through canonicalize_url and
+    through the guarded-off full expression."""
+    from pyspark.sql import functions as F
+
+    from my_crawler_spark.functions.url import (
+        _canonicalize_url_full,
+        canonicalize_url,
+    )
+
+    cases = [
+        "https://h1.example.com/p/123/c4", "http://a.com/", "HTTPS://A.com/x",
+        "https://a.com", "https://a.com:443/x", "http://a.com:80/x",
+        "http://a.com:8080/x", "https://a.com/x?q=1", "https://a.com/x#f",
+        " https://a.com/x ", "https://a.com/x y", "https://a.com/UPPER/Path",
+        "https://a_b.com/x", "https://a.com//double//slash", "ftp://a.com/x",
+        "https:///x", "https://a.com:bad/x", "https://user@a.com/x",
+        "https://a.com/.hidden", "https://a.com/..", "https://a.com/%41",
+        "https://a.com/x:y", "https://a.com./x", "https://a.com/x\t",
+    ] + [f"https://h{i % 9}.example.com/p/{i}/c{i % 16}" for i in range(50)]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    rows = df.select(
+        "u",
+        canonicalize_url(F.col("u")).alias("guarded"),
+        _canonicalize_url_full(F.col("u")).alias("full"),
+    ).collect()
+    for r in rows:
+        assert r.guarded == r.full, (r.u, r.guarded, r.full)
