@@ -2311,11 +2311,12 @@ def _image_table(spark, sf_dir) -> DataFrame:
                 k = int(k)
                 fmt = ["png", "jpeg", "webp"][k % 3]
                 px = make_pixels(7, k, 16, 16)
+                data = C.encode_image(px, fmt)  # encode once, not per field
                 rows.append(
                     {
                         "image_id": f"p-{k}",
-                        "bytes": C.encode_image(px, fmt),
-                        "phash_true": C.phash64(C.decode_image(C.encode_image(px, fmt))),
+                        "bytes": data,
+                        "phash_true": C.phash64(C.decode_image(data)),
                     }
                 )
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "phash_true"])
@@ -2327,9 +2328,14 @@ def q_image_decode_phash(spark, sf_dir) -> DataFrame:
     """E10 plumbing over a deterministic image table synthesized from part:
     encode seeded pixels per row, decode via the Arrow stage, verify phash
     and (for lossy) the PSNR >= 40 dB invariant. No SQL oracle (binary)."""
+    from pyspark import StorageLevel
+
     from .operators.multimodal import decode_stats
 
-    images = _image_table(spark, sf_dir)
+    # persisted: the stats branch and the phash_true join branch otherwise
+    # each re-run the codec generator (a Python stage — exchange reuse
+    # cannot deduplicate it)
+    images = _image_table(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     stats = decode_stats(images)
     joined = stats.join(images.select("image_id", "phash_true"), "image_id")
     return joined.select(

@@ -89,6 +89,8 @@ def cdx_index(
     the surt distribution, each shard sorts locally, and the shard index
     (``cdx_shard_index``) gives the two-level lookup — a binary search in
     the tiny first-key index, then one sorted shard scan."""
+    from pyspark import StorageLevel
+
     passthrough = [
         c for c in ("digest", "mime", "status", "length") if c in records.columns
     ]
@@ -100,6 +102,12 @@ def cdx_index(
             *passthrough,
         )
         .filter(F.col("surt").isNotNull())
+        # persist the computed keys: predicate substitution inlines the
+        # whole SURT regex chain into the null filter, and the range
+        # exchange's reservoir-sampling pass re-runs the child — without
+        # the cache the chain evaluated up to 3x per record (guide §1.2);
+        # disk-backed so a 10^11-record index build spills, not evicts
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = shards or rows.sparkSession.sparkContext.defaultParallelism
     return rows.repartitionByRange(n, "surt", "ts14").sortWithinPartitions(

@@ -403,7 +403,11 @@ def admit_links(
         # times larger than the politeness-bounded ctl relation, and SMJ
         # would sort it; hashing the ctl side per partition skips that
         # sort entirely (guide §3.1 — build side bounded by the round)
-        links = links.join(ctl.hint("shuffle_hash"), ["request_id", "url"], "left")
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_CTL_SHJ", "1") == "1":
+            ctl = ctl.hint("shuffle_hash")
+        links = links.join(ctl, ["request_id", "url"], "left")
     # pass iff: (no admitted row OR (it popped earlier and was not visited))
     #       AND (no final mark at seq <= parent_seq)
     links = links.filter(

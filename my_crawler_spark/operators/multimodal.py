@@ -305,8 +305,13 @@ def caption_alignment(
 
     Returns (image_id, align_score, aligned). Empty captions score 0.0
     (nothing to align); degenerate zero vectors land on 0.0 via nanvl."""
+    from pyspark import StorageLevel
+
     from .search import cosine
 
+    # both feature branches read the image rows; persisting keeps any
+    # (possibly expensive, Python-stage) upstream from running twice
+    images = images.persist(StorageLevel.MEMORY_AND_DISK)
     feats = image_features(images, bins=bins)
     caps = caption_features(images.select("image_id", "caption"), bins=bins)
     score = F.when(F.col("caption_n_tokens") == 0, F.lit(0.0)).otherwise(

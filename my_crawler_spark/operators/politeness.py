@@ -198,6 +198,28 @@ def robots_gate(
     # expression; only rows of origins with a potentially-denying body go
     # through the Arrow matcher. On permissive webs this removes the whole
     # frontier-sized Python round trip.
+    import os
+
+    # Trivial-allow shortcut: correct (see below) and it removes the
+    # frontier-sized Arrow round trip on permissive webs, but the union
+    # layout re-evaluates the joined relation per branch per consumer and
+    # the interleaved warm A/B measured the net as neutral-to-negative
+    # here — ships OFF; enable for webs where the Python matcher dominates.
+    if os.environ.get("SPARK_GRAFT_ROBOTS_FAST", "0") != "1":
+        # plain single-branch layout (every row through the Arrow matcher)
+        dim0 = robots_dim.select(
+            "origin",
+            F.col("entry_body").alias("__entry_body"),
+            F.col("allow_all").alias("__allow_all"),
+        )
+        if broadcast:
+            dim0 = F.broadcast(dim0)
+        out = (
+            rows.join(dim0, "origin", "left")
+            .groupBy(*group_keys)
+            .applyInPandas(check, out_schema)
+        )
+        return out.drop("__rsalt") if salt > 1 else out
     dim = robots_dim.select(
         "origin",
         F.col("entry_body").alias("__entry_body"),

@@ -196,11 +196,12 @@ class CrawlRunner:
         # the sort-merge join's ordering requirement: InMemoryRelation
         # preserves outputOrdering, so every round's fetch join skips the
         # pages-side sort (bucketBy+sortBy amortized into the cache).
-        self.pages = (
-            pages.repartition(host_buckets, "url")
-            .sortWithinPartitions("url")
-            .cache()
-        )
+        import os as _os
+
+        _p = pages.repartition(host_buckets, "url")
+        if _os.environ.get("SPARK_GRAFT_PAGES_SORT", "1") == "1":
+            _p = _p.sortWithinPartitions("url")
+        self.pages = _p.cache()
         self.redirects = redirects
         self.has_redirects = not redirects.isEmpty()
         # chain bound: computed once here, makes every round's redirect hop
@@ -315,6 +316,21 @@ class CrawlRunner:
         from ..operators.extract import image_decode_stats
 
         self.image_stats = image_decode_stats(self.images).cache()
+        # GC finalizer: a runner dropped WITHOUT close() (e.g. a bench or
+        # notebook loop constructing one per run) must not leak its pinned
+        # caches into the shared JVM — three leaked 2.4M-row pages caches
+        # measurably degraded everything after them in one session. The
+        # callback holds the cache LIST (never self), so refcount collection
+        # fires it as soon as the runner goes out of scope.
+        import weakref
+
+        self._pinned_caches = [self.pages, self.budgets, self.robots_dim,
+                               self.image_stats]
+        self._finalizer_state = {"pool": None}  # run_round parks _sink_pool here
+        self._cache_finalizer = weakref.finalize(
+            self, _release_runner_resources, self._pinned_caches,
+            self._finalizer_state,
+        )
 
     def _drain_chunks(self) -> None:
         """Join the in-flight async chunk upsert (re-raising any failure)
@@ -358,11 +374,16 @@ class CrawlRunner:
                     df.unpersist()
             except Exception:
                 pass
+        # caches are released; the GC finalizer has nothing left to do
+        fin = getattr(self, "_cache_finalizer", None)
+        if fin is not None:
+            fin.detach()
 
     def _requests_df(self) -> DataFrame:
         """The requests dim, cached across rounds (constant between admits)."""
         if self._requests_cache is None:
             self._requests_cache = self.t_requests.read().cache()
+            self._pinned_caches.append(self._requests_cache)
         return self._requests_cache
 
     def _invalidate_requests(self) -> None:
@@ -898,22 +919,27 @@ class CrawlRunner:
             # move through ONE exchange here instead of one per consumer;
             # only the narrow control sides shuffle per join (guide §8:
             # heavy bytes move once, decisions ride lightweight proxies).
-            n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            fetched = (
-                fetch_join(
-                    to_fetch, self.pages, self.redirects,
-                    has_redirects=self.has_redirects,
-                    cache_registry=hop_caches, rendered=self.rendered,
-                    max_hops=round_hops if self.redirect_hops > 0 else 0,
-                )
-                .select(
-                    "request_id", "seq", "fetch_kind", "final_url",
-                    "blocked_url", "outlinks", "image_id",
-                )
-                .repartition(n_shuf, "request_id", "seq")
-                .sortWithinPartitions("request_id", "seq")
-                .cache()
+            fetched = fetch_join(
+                to_fetch, self.pages, self.redirects,
+                has_redirects=self.has_redirects,
+                cache_registry=hop_caches, rendered=self.rendered,
+                max_hops=round_hops if self.redirect_hops > 0 else 0,
+            ).select(
+                "request_id", "seq", "fetch_kind", "final_url",
+                "blocked_url", "outlinks", "image_id",
             )
+            # OFF by default: the interleaved warm-run A/B measured the
+            # extra wide exchange+sort costing ~6-7 s/round more than its
+            # downstream savings on this topology (outlink arrays shuffle
+            # only once either way; the control joins move narrow columns).
+            # Kept as an env toggle for cluster topologies where repeated
+            # key-aligned consumers would repay the one-time layout.
+            if os.environ.get("SPARK_GRAFT_CACHE_LAYOUT", "0") == "1":
+                n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+                fetched = fetched.repartition(
+                    n_shuf, "request_id", "seq"
+                ).sortWithinPartitions("request_id", "seq")
+            fetched = fetched.cache()
             round_caches.append(fetched)
             extracted = extract_pages(
                 fetched.filter(F.col("fetch_kind") == "ok").select(
@@ -1130,6 +1156,7 @@ class CrawlRunner:
                         self._sink_pool = _fut.ThreadPoolExecutor(
                             max_workers=1, thread_name_prefix="chunk-sink"
                         )
+                        self._finalizer_state["pool"] = self._sink_pool
                     self._pending_chunks = self._sink_pool.submit(job_chunks)
                 else:
                     jobs.append(pool.submit(job_chunks))
@@ -1240,3 +1267,27 @@ def _host_of(url: str) -> str:
     from urllib.parse import urlsplit
 
     return (urlsplit(url).hostname or "").lower()
+
+
+def _unpersist_quietly(dfs: list) -> None:
+    """weakref.finalize callback (module-level: must not capture the
+    runner): release whatever caches the runner still pins."""
+    for df in dfs:
+        try:
+            if df is not None:
+                df.unpersist()
+        except Exception:
+            pass
+
+
+def _release_runner_resources(dfs: list, state: dict) -> None:
+    """Finalizer for runners dropped without close(): free pinned caches
+    AND stop the async chunk-sink pool (a non-daemon thread per runner
+    otherwise outlives it)."""
+    _unpersist_quietly(dfs)
+    pool = state.get("pool")
+    if pool is not None:
+        try:
+            pool.shutdown(wait=False)
+        except Exception:
+            pass

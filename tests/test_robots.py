@@ -357,3 +357,54 @@ def test_empty_pandas_robots_source_has_schema(spark, tmp_path):
         assert rows["https://new.example.com"].allow_all
     finally:
         runner.close()
+
+
+def test_robots_gate_trivial_allow_fast_path_equals_plain(spark):
+    """The env-gated trivial-allow shortcut (SPARK_GRAFT_ROBOTS_FAST=1)
+    must produce exactly the plain Arrow-matcher verdicts on a dim mixing
+    NULL bodies, allow-only bodies, disallow bodies, and missing origins."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from my_crawler_spark.operators.politeness import robots_gate
+
+    rows = spark.createDataFrame(
+        [
+            (f"https://h{i % 5}.example.com", f"https://h{i % 5}.example.com/p{i}")
+            for i in range(200)
+        ],
+        "origin string, url string",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("https://h0.example.com", "User-agent: *\nAllow: /\n", False),
+            ("https://h1.example.com", None, True),
+            ("https://h2.example.com", None, False),
+            ("https://h3.example.com",
+             "User-agent: *\nDisallow: /p1\nAllow: /p19\n", False),
+            # h4 missing -> 404 allow-all
+        ],
+        "origin string, entry_body string, allow_all boolean",
+    )
+
+    def verdicts():
+        return {
+            (r.origin, r.url): r.robots_allowed_flag
+            for r in robots_gate(rows, dim).collect()
+        }
+
+    os.environ["SPARK_GRAFT_ROBOTS_FAST"] = "1"
+    try:
+        fast = verdicts()
+    finally:
+        os.environ.pop("SPARK_GRAFT_ROBOTS_FAST", None)
+    plain = verdicts()
+    assert fast == plain
+    assert len(fast) == 200
+    # sanity: the disallow body actually denies something (h3's urls are
+    # p3, p8, p13, ... — /p13 prefix-matches Disallow /p1), an allowed h3
+    # url exists, and h2 (null body, allow_all=False) denies all
+    assert not plain[("https://h3.example.com", "https://h3.example.com/p13")]
+    assert plain[("https://h3.example.com", "https://h3.example.com/p3")]
+    assert not plain[("https://h2.example.com", "https://h2.example.com/p2")]

@@ -97,12 +97,16 @@ def test_canonical_fast_path_equals_full_chain(spark):
     uppercase, whitespace, query/fragment, userinfo, bad ports, unusual
     hosts) must produce identical results through canonicalize_url and
     through the guarded-off full expression."""
+    import os
+
     from pyspark.sql import functions as F
 
     from my_crawler_spark.functions.url import (
         _canonicalize_url_full,
         canonicalize_url,
     )
+
+    os.environ["SPARK_GRAFT_URL_FAST"] = "1"  # exercise the gated fast path
 
     cases = [
         "https://h1.example.com/p/123/c4", "http://a.com/", "HTTPS://A.com/x",
@@ -115,10 +119,13 @@ def test_canonical_fast_path_equals_full_chain(spark):
         "https://a.com/x:y", "https://a.com./x", "https://a.com/x\t",
     ] + [f"https://h{i % 9}.example.com/p/{i}/c{i % 16}" for i in range(50)]
     df = spark.createDataFrame([(c,) for c in cases], "u string")
-    rows = df.select(
-        "u",
-        canonicalize_url(F.col("u")).alias("guarded"),
-        _canonicalize_url_full(F.col("u")).alias("full"),
-    ).collect()
+    try:
+        rows = df.select(
+            "u",
+            canonicalize_url(F.col("u")).alias("guarded"),
+            _canonicalize_url_full(F.col("u")).alias("full"),
+        ).collect()
+    finally:
+        os.environ.pop("SPARK_GRAFT_URL_FAST", None)
     for r in rows:
         assert r.guarded == r.full, (r.u, r.guarded, r.full)
